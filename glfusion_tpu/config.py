@@ -1,0 +1,173 @@
+"""Configuration dataclasses.
+
+Every literal in the reference's inline config dict (reference
+``main.py:909-949``) and its hard-coded hyperparameters (Adam lr/wd at
+``main.py:162-169``, cosine T_max at ``main.py:168``, input/crop sizes at
+``datasets/loader.py:474-475``, center-aware weight at ``models/ours.py:1709``)
+becomes a named default here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+# Global 5-structure channel space: (RA, RV, LA, LV, PA).
+# Reference: datasets/loader.py:358-414 (mask_to_allclass) and the view
+# comments at datasets/loader.py:363-384.
+STRUCTURES = ("RA", "RV", "LA", "LV", "PA")
+NUM_CLASSES = len(STRUCTURES)
+
+# Views: '1' = parasternal LV long-axis (PLAX), '2' = PA long-axis,
+# '3' = LV short-axis (PSAX), '4' = apical four-chamber (A4C).
+ALL_VIEWS = ("1", "2", "3", "4")
+
+# Per-view native label channel count (reference models/ours.py:1711).
+VIEW_OUT_CHANNELS = {"1": 2, "2": 1, "3": 2, "4": 4}
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Architecture of the Global_and_Local model (reference models/ours.py:1708-1843).
+
+    Defaults reproduce the reference exactly; the width/depth knobs exist so
+    tests can instantiate tiny variants with the same topology.
+    """
+
+    views: Sequence[str] = ("1", "3", "4")
+    num_classes: int = NUM_CLASSES
+    # ResNet-50 backbone (torchvision topology, reference models/segmentation.py:100-102)
+    stem_width: int = 64
+    block_sizes: Sequence[int] = (3, 4, 6, 3)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    expansion: int = 4
+    # replace_stride_with_dilation=[False, True, True] → layer3/4 stride 1,
+    # dilations grow 1→2→4 (reference models/segmentation.py:102).
+    dilate_stages: Sequence[bool] = (False, False, True, True)
+    # DeepLab ASPP head (reference models/deeplabv3.py:102-166)
+    aspp_rates: Sequence[int] = (12, 24, 36)
+    aspp_channels: int = 256
+    aspp_dropout: float = 0.5
+    # TPAVI fusion (reference models/ours.py:770-917): inter = in // 2
+    tpavi_inter_channels: int | None = None
+    # Center-aware local masking weight (reference models/ours.py:1709,1815)
+    center_aware_weight: float = 20.0
+    # Model variant switch — config-driven ablations (reference models/ours.py
+    # Global_only :1999, Local_only :2113, conv_merge :2766, cyc_nofusion :2628,
+    # early_fusion :2251, late_fusion :2317, fg_bg :2887).
+    variant: str = "global_and_local"
+    # Compute dtype for conv/matmul (params stay fp32).
+    dtype: str = "float32"
+    # Use the fused Pallas non-local attention kernel when on TPU.
+    use_pallas_fusion: bool = True
+    # Rematerialize backbone stages to trade FLOPs for HBM (28×28×2048 maps).
+    remat: bool = False
+
+    @property
+    def backbone_out_channels(self) -> int:
+        return self.widths[-1] * self.expansion
+
+    @property
+    def num_views(self) -> int:
+        return len(self.views)
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Data pipeline contract (reference datasets/loader.py)."""
+
+    root: str | None = None  # dataset root with .nii.gz files; None → synthetic
+    infos_path: str = "infos/save_infos_reg_v2.npy"
+    unlab_infos_path: str = "infos/infos_unlab.npy"
+    test_infos_path: str = "infos/test_infos.npy"
+    data_list_dir: str = "data_list"
+    use_data: Sequence[str] = ("rmyy",)  # center selection (main.py:930)
+    # Resize→crop protocol (datasets/loader.py:474-475)
+    resize_hw: int = 144
+    crop_hw: int = 112
+    clip_length: int = 40  # main.py:917
+    # Train dataset epoch multiplier (datasets/loader.py: __len__ ×4)
+    train_repeat: int = 4
+    # synthetic-data knobs (when root is None)
+    synthetic_num_patients: int = 16
+    synthetic_raw_hw: int = 160
+    synthetic_num_frames: int = 48
+
+
+@dataclasses.dataclass(frozen=True)
+class OptConfig:
+    """Optimizer (reference main.py:162-169, 933-938)."""
+
+    name: str = "adam"
+    lr: float = 3e-4
+    weight_decay: float = 1e-5  # torch Adam-style L2 (added to grad pre-moments)
+    betas: Sequence[float] = (0.9, 0.999)
+    cosine_t_max: int = 100  # epochs (main.py:168)
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training loop (reference main.py:909-949, 172-277)."""
+
+    batch_size: int = 8
+    num_epochs: int = 100
+    seed: int = 6666  # reference fixed seed (datasets/loader.py:32-33)
+    test_views: Sequence[str] = ("1", "3", "4")
+    # cycle loss (main.py:215-237, 650-798)
+    use_cycle: bool = True
+    dense_cyc: bool = False
+    cycle_weight: float = 1e-2
+    cycle_target_region: int = 16
+    cycle_offset: int = 2
+    cycle_chunk: int = 3
+    cycle_temperature: float = 10.0
+    # checkpointing / logging
+    save_dir: str = "./result/ckpt"
+    log_dir: str = "./result/log_info/log_01"
+    save_every_epochs: int = 1
+    eval_every_epochs: int = 1
+    # mesh: (data, model) axis sizes; -1 = all remaining devices on data
+    mesh_data: int = -1
+    mesh_model: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    opt: OptConfig = dataclasses.field(default_factory=OptConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(views: Sequence[str] = ("1", "3", "4")) -> Config:
+    """A topology-faithful miniature for unit tests and CPU smoke runs."""
+    return Config(
+        model=ModelConfig(
+            views=tuple(views),
+            stem_width=8,
+            block_sizes=(1, 1, 1, 1),
+            widths=(8, 16, 32, 64),
+            aspp_rates=(2, 4, 6),
+            aspp_channels=16,
+            use_pallas_fusion=False,
+        ),
+        data=DataConfig(
+            resize_hw=40,
+            crop_hw=32,
+            clip_length=8,
+            synthetic_num_patients=4,
+            synthetic_raw_hw=48,
+            synthetic_num_frames=12,
+        ),
+        train=TrainConfig(
+            batch_size=2,
+            num_epochs=2,
+            cycle_target_region=4,
+            cycle_offset=1,
+            cycle_chunk=2,
+        ),
+    )

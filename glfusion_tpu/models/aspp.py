@@ -1,0 +1,82 @@
+"""DeepLabV3 ASPP head (reference ``models/deeplabv3.py:102-166``), NHWC/flax.
+
+Head = ASPP(rates 12/24/36 + image pooling, 5×256→256 projection, dropout .5)
+→ 3×3 conv + BN + ReLU → 1×1 conv to num_classes. The global-pooling branch's
+bilinear upsample from 1×1 is an exact broadcast.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+_BN = dict(epsilon=1e-5, momentum=0.9)
+
+
+class ASPP(nn.Module):
+    channels: int = 256
+    rates: Sequence[int] = (12, 24, 36)
+    dropout: float = 0.5
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.dtype)
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                                name=name, **_BN)
+
+        branches = []
+        # 1×1 branch
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,
+                    name="b0_conv")(x)
+        branches.append(nn.relu(bn("b0_bn")(y)))
+        # dilated 3×3 branches
+        for i, rate in enumerate(self.rates):
+            y = nn.Conv(self.channels, (3, 3),
+                        padding=((rate, rate), (rate, rate)),
+                        kernel_dilation=(rate, rate), use_bias=False,
+                        dtype=dtype, name=f"b{i + 1}_conv")(x)
+            branches.append(nn.relu(bn(f"b{i + 1}_bn")(y)))
+        # image-pooling branch: global avg → 1×1 conv → BN → ReLU → broadcast
+        p = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        p = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,
+                    name="pool_conv")(p)
+        p = nn.relu(bn("pool_bn")(p))
+        branches.append(jnp.broadcast_to(
+            p, x.shape[:-3] + (x.shape[-3], x.shape[-2], self.channels)))
+
+        y = jnp.concatenate(branches, axis=-1)
+        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,
+                    name="project_conv")(y)
+        y = nn.relu(bn("project_bn")(y))
+        y = nn.Dropout(self.dropout, deterministic=not train,
+                       name="project_dropout")(y)
+        return y
+
+
+class DeepLabHead(nn.Module):
+    """ASPP → 3×3 conv/BN/ReLU → 1×1 conv logits (no upsampling here)."""
+
+    num_outputs: int
+    channels: int = 256
+    rates: Sequence[int] = (12, 24, 36)
+    dropout: float = 0.5
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.dtype)
+        y = ASPP(channels=self.channels, rates=self.rates,
+                 dropout=self.dropout, dtype=self.dtype, name="aspp")(x, train)
+        y = nn.Conv(self.channels, (3, 3), padding=((1, 1), (1, 1)),
+                    use_bias=False, dtype=dtype, name="conv")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn", **_BN)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.num_outputs, (1, 1), use_bias=True, dtype=dtype,
+                    name="out_conv")(y)
+        return y

@@ -1,0 +1,122 @@
+"""ResNet-50 backbone with the reference's "IEKD" deviations, NHWC/flax.
+
+Behavioral contract (for checkpoint parity with the PyTorch reference):
+  * Stem is a 1-channel, stride-1, 7×7 conv with padding 2 AND bias
+    (``nn.Conv2d(1, 64, kernel_size=7, stride=1, padding=2)``, reference
+    ``models/_utils.py:192`` — nn.Conv2d default bias=True), so 112² input
+    gives a 110² stem map, 55² after maxpool, 28² at layer2+.
+  * torchvision bottleneck topology with
+    ``replace_stride_with_dilation=[False, True, True]`` (reference
+    ``models/segmentation.py:100-102``): layer3/4 keep stride 1; the first
+    block of a dilated stage uses the PREVIOUS dilation, later blocks the
+    doubled one (torchvision ``_make_layer`` rule).
+  * BatchNorm eps 1e-5, momentum 0.1 (torch default).
+
+TPU-first notes: NHWC layout; the per-view replicas of the reference
+(deep-copied ModuleDicts, ``models/ours.py:1724-1734``) become a stacked
+parameter axis via ``nn.vmap`` in the assembly (models/glfusion.py), turning
+the sequential per-view loop into one compiled grouped computation.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glfusion_tpu.ops.pooling import max_pool_3x3_s2
+
+_BN = dict(epsilon=1e-5, momentum=0.9)  # flax momentum 0.9 == torch momentum 0.1
+
+
+class Bottleneck(nn.Module):
+    """torchvision-style bottleneck: 1×1 → 3×3(stride,dilation) → 1×1(×4)."""
+
+    planes: int
+    strides: int = 1
+    dilation: int = 1
+    expansion: int = 4
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.dtype)
+        out_ch = self.planes * self.expansion
+        needs_proj = (self.strides != 1) or (x.shape[-1] != out_ch)
+
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn1", **_BN)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.strides, self.strides),
+                    padding=((self.dilation, self.dilation),
+                             (self.dilation, self.dilation)),
+                    kernel_dilation=(self.dilation, self.dilation),
+                    use_bias=False, dtype=dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn2", **_BN)(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="bn3", **_BN)(y)
+
+        if needs_proj:
+            x = nn.Conv(out_ch, (1, 1), strides=(self.strides, self.strides),
+                        use_bias=False, dtype=dtype, name="downsample_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                             name="downsample_bn", **_BN)(x)
+        return nn.relu(x + y)
+
+
+class ResNetIEKD(nn.Module):
+    """1-channel stride-1-stem dilated ResNet; returns the layer4 feature map.
+
+    Input  (B, H, W, 1) → output (B, H', W', widths[-1]*expansion)
+    with H' = H/4 at the reference sizes (112 → 28).
+    """
+
+    stem_width: int = 64
+    block_sizes: Sequence[int] = (3, 4, 6, 3)
+    widths: Sequence[int] = (64, 128, 256, 512)
+    expansion: int = 4
+    dilate_stages: Sequence[bool] = (False, False, True, True)
+    dtype: str = "float32"
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.dtype)
+        # Stem: 7×7 s1 p2 with bias (the IEKD swap), BN, ReLU, maxpool 3×3 s2 p1.
+        x = nn.Conv(self.stem_width, (7, 7), strides=(1, 1),
+                    padding=((2, 2), (2, 2)), use_bias=True, dtype=dtype,
+                    name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="stem_bn", **_BN)(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+
+        block_cls = Bottleneck
+        if self.remat:
+            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+
+        dilation = 1
+        for stage, (blocks, planes, dilate) in enumerate(
+                zip(self.block_sizes, self.widths, self.dilate_stages)):
+            stride = 1 if stage == 0 else 2
+            prev_dilation = dilation
+            if dilate:  # torchvision: dilation *= stride; stride = 1
+                dilation *= stride
+                stride = 1
+            for b in range(blocks):
+                x = block_cls(
+                    planes=planes,
+                    strides=stride if b == 0 else 1,
+                    dilation=prev_dilation if b == 0 else dilation,
+                    expansion=self.expansion,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{b}",
+                )(x, train)
+        return x

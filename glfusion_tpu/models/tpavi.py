@@ -1,0 +1,62 @@
+"""TPAVI non-local fusion block (reference ``models/ours.py:770-917``, mode='dot').
+
+Operates on a stacked multi-view feature volume. The reference layout is
+(B, C, V, H, W); ours is channels-last (B, V, H, W, C). Semantics preserved:
+
+  theta/phi/g : 1×1×1 convs C → C/2   (per-token Dense, bias=True)
+  f = theta @ phi^T ; y = (f / N) @ g  over N = V·H·W tokens  (no softmax)
+  W_z : 1×1×1 conv C/2 → C + BatchNorm3d with ZERO-init scale and bias
+        (reference ``:826-827``) → at init the block is identity + LayerNorm
+  z = LayerNorm(W_z(y) + x) over the channel axis (eps 1e-5)
+
+The unused audio path (``align_channel`` Linear, reference ``:801,855-861``)
+is intentionally omitted; GL-Fusion never passes audio.
+
+TPU-first: the matmul pair is reassociated to theta @ (phi^T g) / N — exact
+in real arithmetic, O(N·C'²) instead of O(N²·C') FLOPs and no N² HBM traffic
+(see ops/nonlocal_attn.py). A fused Pallas kernel covers the naive order for
+bit-parity runs.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glfusion_tpu.ops.nonlocal_attn import dot_nonlocal_attention
+
+_BN = dict(epsilon=1e-5, momentum=0.9)
+
+
+class TPAVI(nn.Module):
+    inter_channels: int | None = None
+    attn_impl: str = "auto"  # 'auto' | 'naive' | 'reassoc' | 'pallas'
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """x: (B, V, H, W, C) → (B, V, H, W, C)."""
+        b, v, h, w, c = x.shape
+        inter = self.inter_channels or max(c // 2, 1)
+        dtype = jnp.dtype(self.dtype)
+        n = v * h * w
+
+        tokens = x.reshape(b, n, c)
+        theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
+        phi = nn.Dense(inter, dtype=dtype, name="phi")(tokens)
+        g = nn.Dense(inter, dtype=dtype, name="g")(tokens)
+
+        if self.attn_impl == "pallas":
+            from glfusion_tpu.ops.tpavi_pallas import fused_dot_nonlocal
+            y = fused_dot_nonlocal(theta, phi, g)
+        else:
+            y = dot_nonlocal_attention(theta, phi, g, impl=self.attn_impl)
+
+        wy = nn.Dense(c, dtype=dtype, name="w_z_conv")(y)
+        wy = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                          scale_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros,
+                          name="w_z_bn", **_BN)(wy)
+        z = wy + tokens
+        z = nn.LayerNorm(epsilon=1e-5, dtype=dtype, name="norm")(z)
+        return z.reshape(b, v, h, w, c)

@@ -1,0 +1,52 @@
+"""Resize ops with PyTorch-compatible semantics, jit/XLA friendly.
+
+The reference resizes with MONAI ``Resized(mode='nearest')`` (torch
+``F.interpolate(mode='nearest')``; reference ``datasets/loader.py:491-509``)
+and upsamples logits with ``F.interpolate(mode='bilinear',
+align_corners=False)`` (reference ``models/ours.py:1838``). Dice parity
+requires matching both index rules exactly:
+
+  * nearest: ``src = floor(dst * in / out)``
+  * bilinear align_corners=False: half-pixel centers — identical to
+    ``jax.image.resize(method='linear')``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    # torch nearest rule: src = floor(i * scale) with scale = in/out computed
+    # in FLOAT32 (torch's CPU/CUDA kernels use single precision here; e.g.
+    # 90 * (200/144) → 124.9999 → 124, not the exact 125). Bit-parity with
+    # MONAI Resized(mode='nearest') requires reproducing that rounding.
+    # Sizes are static, so compute the table host-side with numpy float32 —
+    # this also avoids XLA fusing the multiply at a different precision.
+    scale = np.float32(in_size) / np.float32(out_size)
+    idx = np.floor(np.arange(out_size, dtype=np.float32) * scale)
+    return jnp.asarray(np.clip(idx.astype(np.int64), 0, in_size - 1))
+
+
+def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int],
+                   h_axis: int = -3, w_axis: int = -2) -> jnp.ndarray:
+    """Nearest-neighbor spatial resize (torch ``interpolate(mode='nearest')``).
+
+    Default layout is NHWC-style (..., H, W, C); pass axes for others.
+    """
+    h_axis = h_axis % x.ndim
+    w_axis = w_axis % x.ndim
+    out_h, out_w = out_hw
+    hi = _nearest_indices(out_h, x.shape[h_axis])
+    wi = _nearest_indices(out_w, x.shape[w_axis])
+    x = jnp.take(x, hi, axis=h_axis)
+    x = jnp.take(x, wi, axis=w_axis)
+    return x
+
+
+def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=False semantics on (..., H, W, C)."""
+    out_shape = x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1])
+    return jax.image.resize(x, out_shape, method="linear")

@@ -1,0 +1,95 @@
+"""Fused Pallas TPU kernel for the TPAVI dot non-local attention.
+
+Computes y = (theta @ phi^T / N) @ g over N tokens without ever materializing
+the N×N similarity map in HBM (the reference materializes it at
+``models/ours.py:881,902`` — 22 MB per batch element at N=2352).
+
+Grid is (B, N/TM, N/TK); each step computes a (TM, TK) tile of the similarity
+map in VMEM, immediately contracts it against the matching g tile and
+accumulates the (TM, C') output block in a float32 VMEM scratch accumulator.
+Tokens are padded to the 128-lane boundary by the wrapper; padded phi/g rows
+contribute exactly zero because g is zero there and the division uses the
+TRUE token count N.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 256  # query-token tile
+_TK = 256  # key-token tile
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(theta_ref, phi_ref, g_ref, out_ref, acc_ref, *, n_true: int,
+            n_k_steps: int):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # (TM, TK) similarity tile on the MXU, fp32 accumulate.
+    f = jax.lax.dot_general(
+        theta_ref[0], phi_ref[0],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # Contract against g tile; scale by true token count.
+    acc_ref[:] += jnp.dot(f, g_ref[0], preferred_element_type=jnp.float32) / n_true
+
+    @pl.when(k == n_k_steps - 1)
+    def _flush():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_dot_nonlocal(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """y[b] = (theta[b] @ phi[b]^T / N) @ g[b] for (B, N, C') operands."""
+    b, n, c = theta.shape
+    n_pad = _round_up(n, max(_TM, _TK))
+    c_pad = _round_up(c, 128)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
+
+    theta_p, phi_p, g_p = pad(theta), pad(phi), pad(g)
+    n_k_steps = n_pad // _TK
+
+    grid = (b, n_pad // _TM, n_k_steps)
+    out = pl.pallas_call(
+        functools.partial(_kernel, n_true=n, n_k_steps=n_k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, _TM, c_pad), lambda bi, i, k: (bi, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TK, c_pad), lambda bi, i, k: (bi, k, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TK, c_pad), lambda bi, i, k: (bi, k, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TM, c_pad), lambda bi, i, k: (bi, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, c_pad), theta.dtype),
+        scratch_shapes=[pltpu.VMEM((_TM, c_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * n_pad * n_pad * c_pad,
+            bytes_accessed=3 * b * n_pad * c_pad * theta.dtype.itemsize
+            + b * n_pad * c_pad * theta.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(theta_p, phi_p, g_p)
+    return out[:, :n, :c]

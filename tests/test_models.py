@@ -1,0 +1,146 @@
+"""Model shape contracts and TPAVI numerics.
+
+Shape contracts mirror the reference smoke blocks (SURVEY.md §4):
+112² input → 110² stem → 55² post-pool → 28² f4 (models/_utils.py:214-217).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glfusion_tpu.config import ModelConfig, tiny_config
+from glfusion_tpu.models import GlobalAndLocal, DeepLabHead, ResNetIEKD, TPAVI
+from glfusion_tpu.ops.nonlocal_attn import dot_nonlocal_attention
+
+
+def test_resnet_feature_map_28x28_at_full_width():
+    """Full-size stem contract on a thin-but-deep net (widths shrunk for CPU)."""
+    net = ResNetIEKD(stem_width=8, block_sizes=(1, 1, 1, 1), widths=(4, 8, 16, 32))
+    x = jnp.zeros((1, 112, 112, 1))
+    vars_ = net.init(jax.random.PRNGKey(0), x, False)
+    y = net.apply(vars_, x, False)
+    assert y.shape == (1, 28, 28, 32 * 4)
+
+
+def test_resnet_dilation_keeps_size_after_layer2():
+    net = ResNetIEKD(stem_width=8, block_sizes=(1, 1, 1, 1), widths=(4, 8, 16, 32))
+    x = jnp.zeros((2, 64, 64, 1))
+    vars_ = net.init(jax.random.PRNGKey(0), x, False)
+    y = net.apply(vars_, x, False)
+    # 64 → 62 (stem) → 31 (pool) → 16 (layer2 stride 2), layer3/4 dilated keep 16
+    assert y.shape == (2, 16, 16, 128)
+
+
+def test_deeplab_head_shapes():
+    head = DeepLabHead(num_outputs=5, channels=16, rates=(2, 4, 6))
+    x = jnp.zeros((2, 8, 8, 64))
+    vars_ = head.init(jax.random.PRNGKey(0), x, False)
+    y = head.apply(vars_, x, False)
+    assert y.shape == (2, 8, 8, 5)
+
+
+def test_nonlocal_attention_reassoc_equals_naive():
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(1), 3)
+    theta = jax.random.normal(k1, (2, 75, 16))
+    phi = jax.random.normal(k2, (2, 75, 16))
+    g = jax.random.normal(k3, (2, 75, 16))
+    naive = dot_nonlocal_attention(theta, phi, g, impl="naive")
+    reassoc = dot_nonlocal_attention(theta, phi, g, impl="reassoc")
+    np.testing.assert_allclose(np.asarray(naive), np.asarray(reassoc),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_tpavi_init_is_layernorm_of_input():
+    """Zero-init W_z BN (reference ours.py:826-827) → block is LN(x) at init."""
+    m = TPAVI(inter_channels=8)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 4, 4, 16))
+    vars_ = m.init(jax.random.PRNGKey(0), x, False)
+    y = m.apply(vars_, x, False)
+    # LayerNorm over channel of x itself
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    expected = (x - mu) / jnp.sqrt(var + 1e-5)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(expected),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_tpavi_matches_reference_formula():
+    """End-to-end TPAVI vs a direct dense-math transcription of the torch ops."""
+    m = TPAVI(inter_channels=6, attn_impl="naive")
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 3, 4, 5, 12))
+    vars_ = m.init(jax.random.PRNGKey(0), x, True)
+    p = vars_["params"]
+    # overwrite zero BN scale so the attention path actually contributes
+    p = jax.tree_util.tree_map(lambda a: a, p)
+    import flax
+    p = flax.core.unfreeze(p)
+    p["w_z_bn"]["scale"] = jnp.ones_like(p["w_z_bn"]["scale"]) * 0.7
+    p["w_z_bn"]["bias"] = jnp.ones_like(p["w_z_bn"]["bias"]) * 0.1
+    vars_ = {"params": p, "batch_stats": vars_["batch_stats"]}
+
+    y = m.apply(vars_, x, False)
+
+    # independent NumPy re-derivation
+    b, v, h, w, c = x.shape
+    n = v * h * w
+    tok = np.asarray(x).reshape(b, n, c)
+
+    def dense(name, t):
+        k = np.asarray(p[name]["kernel"])
+        bi = np.asarray(p[name]["bias"])
+        return t @ k + bi
+
+    theta, phi, g = dense("theta", tok), dense("phi", tok), dense("g", tok)
+    f = np.einsum("bic,bjc->bij", theta, phi)
+    yy = np.einsum("bij,bjd->bid", f / n, g)
+    wy = dense("w_z_conv", yy)
+    # eval-mode BN with init stats (mean 0 var 1)
+    wy = wy / np.sqrt(1 + 1e-5) * 0.7 + 0.1
+    z = wy + tok
+    mu = z.mean(-1, keepdims=True)
+    var = z.var(-1, keepdims=True)
+    ln_scale = np.asarray(p["norm"]["scale"])
+    ln_bias = np.asarray(p["norm"]["bias"])
+    expected = ((z - mu) / np.sqrt(var + 1e-5)) * ln_scale + ln_bias
+    np.testing.assert_allclose(np.asarray(y).reshape(b, n, c), expected,
+                               atol=2e-4, rtol=2e-4)
+
+
+@pytest.mark.parametrize("variant", ["global_and_local", "global_only",
+                                     "local_only", "no_fusion"])
+def test_global_and_local_forward_shapes(variant):
+    cfg = tiny_config().model
+    cfg = ModelConfig(**{**cfg.__dict__, "variant": variant})
+    model = GlobalAndLocal(cfg)
+    x = jnp.zeros((3, 2, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(vars_, x, False)
+    assert out["mask"].shape == (3, 2, 32, 32, 5)
+    assert out["mask_bb"].shape == (3, 2, 32, 32, 5)
+    assert out["f4_global"].shape[0] == 3
+    assert out["f4_global"].shape == out["f4_local"].shape
+
+
+def test_global_and_local_per_view_params_are_stacked():
+    cfg = tiny_config().model
+    model = GlobalAndLocal(cfg)
+    x = jnp.zeros((3, 1, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    stem = vars_["params"]["backbone"]["stem_conv"]["kernel"]
+    assert stem.shape[0] == 3  # leading view axis
+    # per-view params differ (split_rngs)
+    assert not np.allclose(np.asarray(stem[0]), np.asarray(stem[1]))
+
+
+def test_global_and_local_train_mode_updates_batch_stats():
+    cfg = tiny_config().model
+    model = GlobalAndLocal(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out, updates = model.apply(vars_, x, True, mutable=["batch_stats"],
+                               rngs={"dropout": jax.random.PRNGKey(5)})
+    assert "batch_stats" in updates
+    old = vars_["batch_stats"]["backbone"]["stem_bn"]["mean"]
+    new = updates["batch_stats"]["backbone"]["stem_bn"]["mean"]
+    assert not np.allclose(np.asarray(old), np.asarray(new))

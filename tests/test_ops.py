@@ -1,0 +1,105 @@
+"""Op-level parity tests: resize/crop/pool/mask semantics vs torch/reference rules."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from glfusion_tpu.ops import (
+    center_crop,
+    mask_to_allclass,
+    max_pool_3x3_s2,
+    random_crop,
+    resize_bilinear,
+    resize_nearest,
+    view_label_table,
+)
+
+
+def test_resize_nearest_matches_torch():
+    x = np.random.RandomState(0).rand(2, 37, 53, 3).astype(np.float32)
+    out = resize_nearest(jnp.asarray(x), (144, 144))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(144, 144),
+                        mode="nearest").permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_resize_nearest_downscale_matches_torch():
+    x = np.random.RandomState(1).rand(1, 200, 160, 1).astype(np.float32)
+    out = resize_nearest(jnp.asarray(x), (144, 144))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(144, 144),
+                        mode="nearest").permute(0, 2, 3, 1).numpy()
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_resize_bilinear_matches_torch_align_corners_false():
+    x = np.random.RandomState(2).rand(2, 28, 28, 5).astype(np.float32)
+    out = resize_bilinear(jnp.asarray(x), (112, 112))
+    ref = F.interpolate(torch.from_numpy(x).permute(0, 3, 1, 2), size=(112, 112),
+                        mode="bilinear", align_corners=False)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_max_pool_matches_torch():
+    x = np.random.RandomState(3).randn(2, 110, 110, 7).astype(np.float32)
+    out = max_pool_3x3_s2(jnp.asarray(x))
+    ref = F.max_pool2d(torch.from_numpy(x).permute(0, 3, 1, 2), 3, 2, 1)
+    ref = ref.permute(0, 2, 3, 1).numpy()
+    assert out.shape == ref.shape  # 110 -> 55
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+
+def test_center_crop_matches_monai_rule():
+    x = jnp.arange(144 * 144, dtype=jnp.float32).reshape(1, 144, 144, 1)
+    out = center_crop(x, (112, 112))
+    # MONAI/np center: start = 144//2 - 112//2 = 16
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(x)[:, 16:128, 16:128, :])
+
+
+def test_random_crop_in_bounds(rng):
+    x = jnp.arange(20 * 18, dtype=jnp.float32).reshape(20, 18, 1)
+    for i in range(5):
+        out = random_crop(jax.random.PRNGKey(i), x, (7, 5))
+        assert out.shape == (7, 5, 1)
+        # every crop is a contiguous window of the source
+        v = np.asarray(out)[:, :, 0]
+        top_left = v[0, 0]
+        row, col = divmod(int(top_left), 18)
+        np.testing.assert_array_equal(
+            v, np.asarray(x)[row:row + 7, col:col + 5, 0])
+
+
+@pytest.mark.parametrize("view,mapping", [
+    ("1", {1: 3, 2: 1}),
+    ("2", {1: 4}),
+    ("3", {1: 3, 2: 1}),
+    ("4", {1: 3, 2: 2, 3: 0, 4: 1}),
+])
+def test_mask_to_allclass(view, mapping):
+    """Matches the reference two-step (threshold → scatter) pipeline
+    (datasets/loader.py:296-316, 358-414)."""
+    raw = np.random.RandomState(5).randint(0, 5, size=(9, 9))
+    out = np.asarray(mask_to_allclass(jnp.asarray(raw), view))
+    assert out.shape == (9, 9, 5)
+    expected = np.zeros((9, 9, 5), np.float32)
+    for raw_val, ch in mapping.items():
+        expected[..., ch] = (raw == raw_val)
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_mask_to_allclass_traced_view_index():
+    raw = jnp.asarray(np.random.RandomState(6).randint(0, 5, size=(4, 4)))
+    f = jax.jit(lambda r, v: mask_to_allclass(r, v))
+    out_traced = f(raw, jnp.int32(3))
+    out_static = mask_to_allclass(raw, "4")
+    np.testing.assert_array_equal(np.asarray(out_traced), np.asarray(out_static))
+
+
+def test_view_label_table_shape():
+    t = view_label_table()
+    assert t.shape == (4, 5)
+    assert t[0, 1] == 3 and t[3, 3] == 0
