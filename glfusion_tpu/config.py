@@ -59,8 +59,11 @@ class ModelConfig:
     variant: str = "global_and_local"
     # Compute dtype for conv/matmul (params stay fp32).
     dtype: str = "float32"
-    # Use the fused Pallas non-local attention kernel when on TPU.
-    use_pallas_fusion: bool = True
+    # Use the fused Pallas non-local attention kernel (naive contraction
+    # order, bit-faithful to the reference). Default False: the reassociated
+    # O(N·C'²) contraction (ops/nonlocal_attn.py) is mathematically equal and
+    # cheaper; flip on for parity-exact eval or when benchmarks favor it.
+    use_pallas_fusion: bool = False
     # Rematerialize backbone stages to trade FLOPs for HBM (28×28×2048 maps).
     remat: bool = False
 

@@ -1,0 +1,66 @@
+"""Sharding rules: data-parallel batches + tensor-parallel channel sharding.
+
+Strategy (scaling-book style): pick the mesh, annotate leaf shardings, let
+GSPMD insert the collectives.
+
+  * Batches shard their batch axis over ``data``. Model inputs are stacked
+    views (V, B, H, W, C) → B is axis 1.
+  * Large parameter tensors shard their output-channel (last) axis over
+    ``model`` when it is big enough and divisible; everything else is
+    replicated. This tensor-parallelizes the 2048-channel backbone tail,
+    the DeepLab heads, and the TPAVI projections, where the FLOPs live.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Minimum channel count worth sharding over the model axis.
+_MIN_SHARD_DIM = 256
+
+
+def variable_pspec(leaf: jax.Array, model_axis_size: int) -> P:
+    """PartitionSpec for one parameter / batch-stat leaf."""
+    if (model_axis_size > 1
+            and leaf.ndim >= 1
+            and leaf.shape[-1] >= _MIN_SHARD_DIM
+            and leaf.shape[-1] % model_axis_size == 0):
+        return P(*([None] * (leaf.ndim - 1)), "model")
+    return P()
+
+
+def shard_variables(variables: Any, mesh: Mesh) -> Any:
+    """device_put every leaf with its rule sharding (params, stats, etc.)."""
+    model_size = mesh.shape["model"]
+
+    def put(leaf):
+        spec = variable_pspec(leaf, model_size)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(put, variables)
+
+
+def batch_sharding(mesh: Mesh, batch_axis: int, ndim: int) -> NamedSharding:
+    spec = [None] * ndim
+    spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))
+
+
+def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 1) -> Any:
+    """Shard every array in a batch pytree along ``batch_axis`` over 'data'.
+
+    Stacked-view tensors are (V, B, ...): the batch axis is 1. Arrays with
+    a batch dim not divisible by the data axis are replicated.
+    """
+    data_size = mesh.shape["data"]
+
+    def put(leaf):
+        if leaf.ndim > batch_axis and leaf.shape[batch_axis] % data_size == 0:
+            return jax.device_put(
+                leaf, batch_sharding(mesh, batch_axis, leaf.ndim))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map(put, batch)

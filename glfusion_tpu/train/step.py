@@ -1,0 +1,115 @@
+"""Jitted, mesh-sharded train / eval steps.
+
+One train step = the reference's inner loop body (``main.py:193-243``):
+  1. multi-view supervised forward → Σ_views BCE-sum(mask, target)
+  2. cycle forward on per-view clips (frames-as-batch) → f4_global pooled
+     over space → per-view cycle loss
+  3. total = seg + 1e-2·cycle; Adam update.
+
+Both forwards share one traced graph; BN statistics flow first→second→update,
+matching the reference's sequential module calls. Gradients reduce over the
+``data`` mesh axis implicitly (GSPMD) because parameters are replicated there.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from glfusion_tpu.config import Config
+from glfusion_tpu.train.losses import (
+    bce_with_logits_sum,
+    dense_seg_cycle_loss,
+    seg_cycle_loss,
+)
+from glfusion_tpu.train.metrics import confusion_counts
+from glfusion_tpu.train.train_state import TrainState
+
+
+def make_train_step(cfg: Config, model):
+    views = tuple(cfg.model.views)
+    test_idx = tuple(views.index(v) for v in cfg.train.test_views
+                     if v in views)
+    tc = cfg.train
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
+
+        def loss_fn(params):
+            out, upd = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["images"], True, mutable=["batch_stats"],
+                rngs={"dropout": rng_drop})
+            seg_loss = 0.0
+            for vi in test_idx:
+                seg_loss += bce_with_logits_sum(out["mask"][vi],
+                                                batch["masks"][vi])
+            bstats = upd["batch_stats"]
+
+            cyc_loss = jnp.float32(0.0)
+            if tc.use_cycle and "clips" in batch:
+                out2, upd2 = model.apply(
+                    {"params": params, "batch_stats": bstats},
+                    batch["clips"], True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_cyc_drop})
+                bstats = upd2["batch_stats"]
+                feat = jnp.sum(out2["f4_global"], axis=(2, 3))  # (V, T, C)
+                kw = dict(target_region=tc.cycle_target_region,
+                          cyc_off=tc.cycle_offset, chunk=tc.cycle_chunk,
+                          temperature=tc.cycle_temperature)
+                for vi in range(len(views)):
+                    if tc.dense_cyc:
+                        cyc_loss += dense_seg_cycle_loss(feat[vi], **kw)
+                    else:
+                        cyc_loss += seg_cycle_loss(
+                            jax.random.fold_in(rng_cyc, vi), feat[vi], **kw)
+
+            total = seg_loss + tc.cycle_weight * cyc_loss
+            return total, (bstats, seg_loss, cyc_loss, out["mask"])
+
+        (total, (bstats, seg_loss, cyc_loss, mask_logits)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        state = state.apply_gradients(grads=grads, batch_stats=bstats)
+
+        pred = (mask_logits > 0.0).astype(jnp.float32)
+        counts = confusion_counts(pred, batch["masks"],
+                                  axis=tuple(range(1, mask_logits.ndim)))
+        metrics = {"loss": total, "seg_loss": seg_loss, "cyc_loss": cyc_loss,
+                   **counts}
+        return state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, model):
+    """Forward on a stacked multi-view batch, returns logits + counts.
+
+    Implements the eval contract of ``main.py:500-519``: fused prediction
+    (``pred_frames, _ = model(imgs)`` — the final fused mask), sum-BCE loss,
+    confusion counts over all pixels plus per-structure counts.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, Any]):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["images"], False)
+        logits = out["mask"]  # (V, B, H, W, 5)
+        loss = 0.0
+        for vi in range(logits.shape[0]):
+            loss += bce_with_logits_sum(logits[vi], batch["masks"][vi])
+        pred = (logits > 0.0).astype(jnp.float32)
+        # overall per-view counts
+        reduce_all = tuple(range(1, logits.ndim))
+        counts = confusion_counts(pred, batch["masks"], axis=reduce_all)
+        # per-view per-part counts: reduce all but view and class axes
+        reduce_parts = tuple(range(1, logits.ndim - 1))
+        part_counts = confusion_counts(pred, batch["masks"], axis=reduce_parts)
+        return {"loss": loss, "counts": counts, "part_counts": part_counts,
+                "logits": logits}
+
+    return eval_step

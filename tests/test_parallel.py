@@ -1,0 +1,50 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glfusion_tpu.parallel import make_mesh, shard_batch, shard_variables
+from glfusion_tpu.parallel.sharding import variable_pspec
+from jax.sharding import PartitionSpec as P
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh()  # all devices on data
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+
+
+def test_variable_pspec_rule():
+    big = jnp.zeros((3, 3, 128, 512))
+    small = jnp.zeros((3, 3, 4, 8))
+    assert variable_pspec(big, 2) == P(None, None, None, "model")
+    assert variable_pspec(small, 2) == P()
+    assert variable_pspec(big, 1) == P()
+
+
+def test_shard_batch_places_batch_axis():
+    mesh = make_mesh(data=4, model=2)
+    batch = {"images": jnp.zeros((3, 8, 16, 16, 1))}
+    sharded = shard_batch(batch, mesh, batch_axis=1)
+    spec = sharded["images"].sharding.spec
+    assert spec[1] == "data"
+
+
+def test_dryrun_multichip_8dev():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_1dev():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__", "__graft_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(1)
