@@ -1,0 +1,106 @@
+"""Minimal from-scratch NIfTI-1 reader/writer (no nibabel dependency).
+
+The reference reads echo videos with ``nib.load(path).dataobj`` (reference
+``datasets/loader.py`` throughout) — images are (H, W, T) or (H, W, T, 1)
+volumes, labels likewise. This module implements the NIfTI-1 single-file
+format (.nii / .nii.gz) directly: 348-byte header, Fortran-ordered voxels at
+``vox_offset``; enough for the dataset's uint8/int16/float volumes.
+
+A native C++ decoder with a prefetching thread pool lives in
+``glfusion_tpu/native`` and is used automatically when built; this is the
+pure-Python fallback and the format reference.
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+from pathlib import Path
+
+import numpy as np
+
+_DTYPES = {
+    2: np.uint8,
+    4: np.int16,
+    8: np.int32,
+    16: np.float32,
+    64: np.float64,
+    256: np.int8,
+    512: np.uint16,
+    768: np.uint32,
+}
+_CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
+
+
+def _read_bytes(path: str | Path) -> bytes:
+    path = str(path)
+    if path.endswith(".gz"):
+        with gzip.open(path, "rb") as f:
+            return f.read()
+    with open(path, "rb") as f:
+        return f.read()
+
+
+def read_nifti(path: str | Path) -> np.ndarray:
+    """Read a NIfTI-1 volume; returns the array in its natural (x, y, ...) shape."""
+    raw = _read_bytes(path)
+    if len(raw) < 348:
+        raise ValueError(f"{path}: truncated NIfTI header")
+    sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
+    if sizeof_hdr != 348:
+        # try big-endian
+        if struct.unpack_from(">i", raw, 0)[0] == 348:
+            return _parse(raw, ">", path)
+        raise ValueError(f"{path}: bad sizeof_hdr {sizeof_hdr}")
+    return _parse(raw, "<", path)
+
+
+def _parse(raw: bytes, bo: str, path) -> np.ndarray:
+    dim = struct.unpack_from(f"{bo}8h", raw, 40)
+    ndim = dim[0]
+    if not 1 <= ndim <= 7:
+        raise ValueError(f"{path}: bad ndim {ndim}")
+    shape = tuple(int(d) for d in dim[1:1 + ndim])
+    datatype = struct.unpack_from(f"{bo}h", raw, 70)[0]
+    vox_offset = int(struct.unpack_from(f"{bo}f", raw, 108)[0])
+    scl_slope = struct.unpack_from(f"{bo}f", raw, 112)[0]
+    scl_inter = struct.unpack_from(f"{bo}f", raw, 116)[0]
+    magic = raw[344:348]
+    if magic[:3] not in (b"n+1", b"ni1"):
+        raise ValueError(f"{path}: bad magic {magic!r}")
+    if datatype not in _DTYPES:
+        raise ValueError(f"{path}: unsupported datatype {datatype}")
+    dtype = np.dtype(_DTYPES[datatype]).newbyteorder(bo)
+    count = int(np.prod(shape))
+    data = np.frombuffer(raw, dtype=dtype, count=count,
+                         offset=vox_offset or 352)
+    arr = data.reshape(shape, order="F")
+    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
+        arr = arr * scl_slope + scl_inter
+    return np.ascontiguousarray(arr)
+
+
+def write_nifti(path: str | Path, arr: np.ndarray) -> None:
+    """Write a NIfTI-1 single-file volume (gzipped iff path ends with .gz)."""
+    arr = np.asarray(arr)
+    if arr.dtype not in _CODES:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    hdr = bytearray(352)  # 348 header + 4 extension bytes
+    struct.pack_into("<i", hdr, 0, 348)
+    dim = [arr.ndim] + list(arr.shape) + [1] * (7 - arr.ndim)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, _CODES[arr.dtype])
+    struct.pack_into("<h", hdr, 72, arr.dtype.itemsize * 8)
+    # pixdim[0..n] = 1.0
+    struct.pack_into("<8f", hdr, 76, *( [1.0] * 8 ))
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
+    hdr[344:348] = b"n+1\x00"
+    payload = bytes(hdr) + arr.tobytes(order="F")
+    path = str(path)
+    if path.endswith(".gz"):
+        with gzip.open(path, "wb", compresslevel=1) as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(payload)

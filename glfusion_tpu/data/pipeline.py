@@ -1,0 +1,256 @@
+"""Host loaders + fused on-device preprocessing.
+
+Split of work (TPU-first):
+  host   — NIfTI decode, labeled-frame selection (the reference's
+           mask-area>100 rule, ``datasets/loader.py:431-470``), nearest
+           resize to the STATIC 144² grid (pure integer gather with the
+           same float32 index rule as the device op).
+  device — one jit: paired random/center crop to 112², /255 normalize,
+           raw-label → 5-structure remap, view stacking. Replaces the
+           MONAI transform stack (``datasets/loader.py:491-509``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glfusion_tpu.config import ALL_VIEWS, Config
+from glfusion_tpu.data.infos import PatientIndex
+from glfusion_tpu.data.nifti import read_nifti
+from glfusion_tpu.ops.crops import center_crop
+from glfusion_tpu.ops.masks import mask_to_allclass
+from glfusion_tpu.ops.resize import _nearest_indices
+
+
+# ---------------------------------------------------------------- host side
+
+def _resize_nearest_np(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
+    """(H, W[, ...]) nearest resize on host, same index rule as device op."""
+    hi = np.asarray(_nearest_indices(out_hw[0], x.shape[0]))
+    wi = np.asarray(_nearest_indices(out_hw[1], x.shape[1]))
+    return x[hi][:, wi]
+
+
+def select_labeled_frame(image: np.ndarray, mask: np.ndarray,
+                         rs: np.random.RandomState) -> tuple[np.ndarray, np.ndarray, int]:
+    """Pick a labeled frame from an (H, W, T) pair.
+
+    Reference rule (``datasets/loader.py:433-446``): a frame is labeled when
+    the raw label sum over the frame exceeds 100; pick uniformly at random.
+    """
+    if image.ndim == 2:
+        return image, mask, 0
+    frame_score = mask.reshape(-1, mask.shape[-1]).sum(0)
+    labeled = np.flatnonzero(frame_score > 100)
+    if len(labeled) == 0:
+        labeled = np.arange(mask.shape[-1])
+    idx = int(rs.choice(labeled))
+    return image[..., idx], mask[..., idx], idx
+
+
+class SegFrameLoader:
+    """Single-frame multi-view segmentation batches (``Seg_PAHDataset``).
+
+    Yields host batches: images (V, B, 144, 144) float32 raw intensity,
+    masks (V, B, 144, 144) int32 raw labels — device preprocessing does the
+    rest. Missing views produce zero frames (reference pads with zeros,
+    ``loader.py:268-282``).
+    """
+
+    def __init__(self, index: PatientIndex, ids: Sequence[str],
+                 views: Sequence[str], cfg: Config, is_train: bool,
+                 seed: int = 0):
+        self.index = index
+        self.ids = [i for i in ids if i in index.records]
+        self.views = tuple(views)
+        self.cfg = cfg
+        self.is_train = is_train
+        self.seed = seed
+        self._cache: Dict[tuple, tuple] = {}
+
+    def __len__(self) -> int:
+        n = len(self.ids)
+        return n * self.cfg.data.train_repeat if self.is_train else n
+
+    def _load(self, pid: str, view: str):
+        key = (pid, view)
+        if key not in self._cache:
+            img_p, lab_p = self.index.view_paths(pid, view)
+            if img_p is None:
+                self._cache[key] = (None, None)
+            else:
+                img = np.asarray(read_nifti(img_p)).squeeze()
+                lab = np.asarray(read_nifti(lab_p)).squeeze()
+                self._cache[key] = (img, lab)
+        return self._cache[key]
+
+    def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
+        rs = np.random.RandomState(self.seed + epoch if self.is_train
+                                   else self.seed)
+        order = np.arange(len(self))
+        if self.is_train:
+            rs.shuffle(order)
+        r = self.cfg.data.resize_hw
+        nb = len(order) // batch_size
+        for b in range(max(nb, 1) if not self.is_train else nb):
+            take = order[b * batch_size:(b + 1) * batch_size]
+            if len(take) == 0:
+                return
+            imgs = np.zeros((len(self.views), len(take), r, r), np.float32)
+            masks = np.zeros((len(self.views), len(take), r, r), np.int32)
+            for bi, oi in enumerate(take):
+                pid = self.ids[oi % len(self.ids)]
+                for vi, view in enumerate(self.views):
+                    img, lab = self._load(pid, view)
+                    if img is None:
+                        continue
+                    fr_img, fr_lab, _ = select_labeled_frame(img, lab, rs)
+                    imgs[vi, bi] = _resize_nearest_np(
+                        fr_img.astype(np.float32), (r, r))
+                    masks[vi, bi] = _resize_nearest_np(
+                        fr_lab.astype(np.int32), (r, r))
+            yield {"images_raw": imgs, "masks_raw": masks}
+
+
+class AlignedClipLoader:
+    """Fixed-length cycle clips (``Aligned_Video_Seg_PAHDataset``).
+
+    Yields (V, T, H, W) float32 raw-intensity clips (the reference feeds
+    cycle clips WITHOUT /255, ``main.py:215-218`` + ``loader.py:1023-1027``).
+    Clips shorter than clip_length are self-concatenated; longer ones take
+    the first clip_length frames (``loader.py:1009-1021``, random_sample=False).
+    """
+
+    def __init__(self, index: PatientIndex, ids: Sequence[str],
+                 views: Sequence[str], cfg: Config, seed: int = 0):
+        self.index = index
+        self.ids = [i for i in ids if i in index.records]
+        self.views = tuple(views)
+        self.cfg = cfg
+        self.seed = seed
+        self._cache: Dict[tuple, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _load_clip(self, pid: str, view: str) -> np.ndarray | None:
+        key = (pid, view)
+        if key not in self._cache:
+            img_p, _ = self.index.view_paths(pid, view)
+            if img_p is None:
+                self._cache[key] = None
+            else:
+                vol = np.asarray(read_nifti(img_p))
+                if vol.ndim == 4:  # (H, W, T, 1)
+                    vol = vol.squeeze(-1)
+                t = self.cfg.data.clip_length
+                while vol.shape[-1] < t:
+                    vol = np.concatenate([vol, vol], axis=-1)
+                vol = vol[..., :t]
+                self._cache[key] = vol.astype(np.float32)
+        return self._cache[key]
+
+    def clips(self, epoch: int = 0) -> Iterator[np.ndarray]:
+        rs = np.random.RandomState(self.seed + epoch)
+        order = rs.permutation(len(self.ids))
+        hw = self.cfg.data.crop_hw
+        t = self.cfg.data.clip_length
+        for oi in order:
+            pid = self.ids[oi]
+            out = np.zeros((len(self.views), t, hw, hw), np.float32)
+            ok = False
+            for vi, view in enumerate(self.views):
+                vol = self._load_clip(pid, view)
+                if vol is None:
+                    continue
+                if vol.shape[:2] != (hw, hw):
+                    vol = _resize_nearest_np(vol, (hw, hw))
+                out[vi] = np.moveaxis(vol, -1, 0)  # (T, H, W)
+                ok = True
+            if ok:
+                yield out
+
+
+class TestClipLoader:
+    """Raw evaluation clips (``Test_Seg_PAHDataset``): no transform, /255.
+
+    Yields per-clip dicts with images (V, T, H, W, 1) float32 in [0,1] and
+    masks (V, T, H, W, 5) float32 — the frames-as-batch eval feed
+    (``main.py:495-499``).
+    """
+
+    def __init__(self, test_infos: Dict[str, dict], ids: Sequence[str],
+                 views: Sequence[str], clip_length: int):
+        self.infos = test_infos
+        self.ids = list(ids)
+        self.views = tuple(views)
+        self.clip_length = clip_length
+
+    def __len__(self):
+        return len(self.ids)
+
+    def clips(self) -> Iterator[dict]:
+        for cid in self.ids:
+            rec = self.infos[cid]
+            imgs, masks = [], []
+            for view in self.views:
+                ip = rec["views_images"].get(view)
+                lp = rec["views_labels"].get(view)
+                img = np.asarray(read_nifti(ip), np.float32) / 255.0
+                lab = np.asarray(read_nifti(lp), np.float32)
+                # img (1, H, W, T) → (T, H, W, 1); lab (5, H, W, T) → (T, H, W, 5)
+                t = min(self.clip_length, img.shape[-1])
+                imgs.append(np.transpose(img[..., :t], (3, 1, 2, 0)))
+                masks.append(np.transpose(lab[..., :t], (3, 1, 2, 0)))
+            yield {"clip_id": cid,
+                   "images": np.stack(imgs),   # (V, T, H, W, 1)
+                   "masks": np.stack(masks)}   # (V, T, H, W, 5)
+
+
+# -------------------------------------------------------------- device side
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "is_train", "view_ids"))
+def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
+                     masks_raw: jnp.ndarray, *, crop_hw: int, is_train: bool,
+                     view_ids: tuple[int, ...]) -> dict:
+    """Fused crop + normalize + remap + channelize on device.
+
+    images_raw/masks_raw: (V, B, R, R). Returns images (V, B, c, c, 1) in
+    [0,1] and masks (V, B, c, c, 5). The crop window is shared between image
+    and mask of a sample (MONAI paired-keys behavior) and drawn per sample.
+    """
+    v, b, r, _ = images_raw.shape
+    c = crop_hw
+
+    if is_train:
+        def crop_one(rng, img, msk):
+            k = jax.random.split(rng, 2)
+            sh = jax.random.randint(k[0], (), 0, r - c + 1)
+            sw = jax.random.randint(k[1], (), 0, r - c + 1)
+            img_c = jax.lax.dynamic_slice(img, (sh, sw), (c, c))
+            msk_c = jax.lax.dynamic_slice(msk, (sh, sw), (c, c))
+            return img_c, msk_c
+
+        rngs = jax.random.split(rng, v * b).reshape(v, b, 2)
+        imgs, msks = jax.vmap(jax.vmap(crop_one))(rngs, images_raw, masks_raw)
+    else:
+        imgs = center_crop(images_raw[..., None], (c, c))[..., 0]
+        msks = center_crop(masks_raw[..., None], (c, c))[..., 0]
+
+    imgs = (imgs / 255.0)[..., None]  # (V, B, c, c, 1)
+    view_idx = jnp.asarray(view_ids)
+
+    def remap(vi, m):
+        return mask_to_allclass(m, vi)
+
+    masks5 = jax.vmap(remap)(view_idx, msks)  # (V, B, c, c, 5)
+    return {"images": imgs.astype(jnp.float32), "masks": masks5}
+
+
+def view_ids_tuple(views: Sequence[str]) -> tuple[int, ...]:
+    return tuple(ALL_VIEWS.index(v) for v in views)

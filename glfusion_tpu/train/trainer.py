@@ -1,0 +1,236 @@
+"""Trainer: the reference's train/val/test loops, TPU-native.
+
+Mirrors ``main.py``'s Trainer surface — ``train()``, ``evaluate()``,
+``validation_and_test()`` — with jit-compiled steps, a device mesh, Orbax
+checkpointing, and JSONL metric logs. The reference's broken paths
+(SURVEY.md §2.4) are implemented by intent: cycle loaders wrap the aligned
+video dataset; eval unpacks the model's dict output.
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glfusion_tpu.config import Config
+from glfusion_tpu.data.infos import PatientIndex, load_infos, load_split
+from glfusion_tpu.data.pipeline import (
+    AlignedClipLoader,
+    SegFrameLoader,
+    TestClipLoader,
+    preprocess_batch,
+    view_ids_tuple,
+)
+from glfusion_tpu.models import GlobalAndLocal
+from glfusion_tpu.parallel import make_mesh, shard_batch, shard_variables
+from glfusion_tpu.train.metrics import overlap_metrics
+from glfusion_tpu.train.step import make_eval_step, make_train_step
+from glfusion_tpu.train.train_state import TrainState, make_optimizer
+from glfusion_tpu.utils.checkpoint import CheckpointManager
+
+# hard-coded reference eval split of the 10 test clips (main.py:423-424)
+VAL_CLIPS = ["0_0", "0_2"]
+TEST_CLIPS = ["0_1", "0_3", "0_4", "0_5", "0_6", "0_7", "0_8", "0_9"]
+
+
+class Trainer:
+    def __init__(self, cfg: Config, data_paths: Optional[Dict[str, str]] = None,
+                 verbose: bool = True):
+        self.cfg = cfg
+        self.verbose = verbose
+        self.mesh = make_mesh(data=cfg.train.mesh_data,
+                              model=cfg.train.mesh_model)
+
+        if data_paths is None:
+            import tempfile
+            from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+            tmp = tempfile.mkdtemp(prefix="glfusion_synth_")
+            data_paths = generate_synthetic_dataset(
+                tmp, cfg.data, views=cfg.model.views, seed=cfg.train.seed)
+            self._log(f"synthetic dataset generated under {tmp}")
+        self.data_paths = data_paths
+
+        infos = load_infos(data_paths["infos"])
+        unlab = load_infos(data_paths["unlab_infos"])
+        self.test_infos = load_infos(data_paths["test_infos"])
+        dl = Path(data_paths["data_list_dir"])
+        self.train_list = load_split(dl / "train_list.npy")
+        self.val_list = load_split(dl / "val_list.npy")
+        self.test_list = load_split(dl / "test_list.npy")
+
+        index = PatientIndex.from_infos(infos, cfg.data.use_data)
+        unlab_index = PatientIndex.from_infos(unlab, cfg.data.use_data)
+        self.train_loader = SegFrameLoader(index, self.train_list,
+                                           cfg.model.views, cfg,
+                                           is_train=True, seed=cfg.train.seed)
+        self.valid_loader = SegFrameLoader(index, self.val_list,
+                                           cfg.model.views, cfg,
+                                           is_train=False, seed=cfg.train.seed)
+        self.cycle_loader = AlignedClipLoader(unlab_index, self.train_list,
+                                              cfg.model.views, cfg,
+                                              seed=cfg.train.seed)
+
+        self.model = GlobalAndLocal(cfg.model)
+        self.view_ids = view_ids_tuple(cfg.model.views)
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        hw = cfg.data.crop_hw
+        sample = jnp.zeros((cfg.model.num_views, 1, hw, hw, 1), jnp.float32)
+        variables = self.model.init(rng, sample, False)
+        variables = shard_variables(variables, self.mesh)
+
+        self.steps_per_epoch = max(
+            len(self.train_loader) // cfg.train.batch_size, 1)
+        self.state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=make_optimizer(cfg, self.steps_per_epoch),
+        )
+        self.train_step = make_train_step(cfg, self.model)
+        self.eval_step = make_eval_step(cfg, self.model)
+        self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+        self.ckpt = CheckpointManager(cfg.train.save_dir)
+        self.epoch = 0
+        log_dir = Path(cfg.train.log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+        self._metrics_file = open(log_dir / "metrics.jsonl", "a")
+
+    # ------------------------------------------------------------------ api
+
+    def load_latest(self) -> bool:
+        restored = self.ckpt.restore_latest(self.state)
+        if restored is None:
+            return False
+        self.state, self.epoch = restored
+        self._log(f"restored checkpoint at epoch {self.epoch}")
+        return True
+
+    def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        num_epochs = num_epochs or cfg.train.num_epochs
+        last = {}
+        for epoch in range(self.epoch, num_epochs):
+            self.epoch = epoch
+            t0 = time.time()
+            epoch_metrics = self._train_epoch(epoch)
+            epoch_metrics["epoch_time_s"] = time.time() - t0
+            last = epoch_metrics
+            self._write_log({"epoch": epoch, **epoch_metrics})
+            self._log(
+                f"epoch {epoch}: loss={epoch_metrics['loss']:.1f} "
+                f"seg={epoch_metrics['seg_loss']:.1f} "
+                f"cyc={epoch_metrics['cyc_loss']:.4f} "
+                f"dice={epoch_metrics['dice']:.4f} "
+                f"({epoch_metrics['epoch_time_s']:.1f}s)")
+            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                self.validation_and_test()
+            if (epoch + 1) % cfg.train.save_every_epochs == 0:
+                self.ckpt.save(self.state, epoch)
+        return last
+
+    def _train_epoch(self, epoch: int) -> Dict[str, float]:
+        cfg = self.cfg
+        cycle_iter = (itertools.cycle(self.cycle_loader.clips(epoch))
+                      if cfg.train.use_cycle and len(self.cycle_loader) > 0
+                      else None)
+        agg = None
+        steps = 0
+        for host_batch in self.train_loader.batches(cfg.train.batch_size,
+                                                    epoch):
+            self.rng, r_pre, r_step = jax.random.split(self.rng, 3)
+            batch = preprocess_batch(
+                r_pre, jnp.asarray(host_batch["images_raw"]),
+                jnp.asarray(host_batch["masks_raw"]),
+                crop_hw=cfg.data.crop_hw, is_train=True,
+                view_ids=self.view_ids)
+            if cycle_iter is not None:
+                batch["clips"] = jnp.asarray(next(cycle_iter))[..., None]
+            batch = shard_batch(batch, self.mesh, batch_axis=1)
+            self.state, metrics = self.train_step(self.state, batch, r_step)
+            steps += 1
+            m = {k: np.asarray(v) for k, v in metrics.items()}
+            agg = m if agg is None else {k: agg[k] + m[k] for k in m}
+        if agg is None:
+            return {"loss": 0.0, "seg_loss": 0.0, "cyc_loss": 0.0, "dice": 0.0}
+        counts = {k: float(agg[k].sum()) for k in ("tp", "fp", "fn", "tn")}
+        derived = overlap_metrics({k: jnp.float32(v)
+                                   for k, v in counts.items()})
+        return {
+            "loss": float(agg["loss"]) / steps,
+            "seg_loss": float(agg["seg_loss"]) / steps,
+            "cyc_loss": float(agg["cyc_loss"]) / steps,
+            "dice": float(derived["dice"]),
+            "steps": steps,
+        }
+
+    def validation_and_test(self) -> Dict[str, dict]:
+        """In-training eval over the fixed clip split (main.py:279-416)."""
+        results = {}
+        for name, ids in (("Inner-val", VAL_CLIPS), ("Inner-test", TEST_CLIPS)):
+            ids = [i for i in ids if i in self.test_infos]
+            if not ids:
+                continue
+            results[name] = self.evaluate_clips(ids, name)
+        return results
+
+    def evaluate_clips(self, clip_ids, tag: str = "eval") -> dict:
+        """Frames-as-batch clip evaluation (main.py:459-543)."""
+        cfg = self.cfg
+        loader = TestClipLoader(self.test_infos, clip_ids, cfg.model.views,
+                                cfg.data.clip_length)
+        v = cfg.model.num_views
+        totals = {k: np.zeros(v) for k in ("tp", "fp", "fn", "tn")}
+        part_totals = {k: np.zeros((v, cfg.model.num_classes))
+                       for k in ("tp", "fp", "fn", "tn")}
+        loss = 0.0
+        nclips = 0
+        for clip in loader.clips():
+            batch = {"images": jnp.asarray(clip["images"]),
+                     "masks": jnp.asarray(clip["masks"])}
+            batch = shard_batch(batch, self.mesh, batch_axis=1)
+            out = self.eval_step(self.state, batch)
+            loss += float(out["loss"])
+            for k in totals:
+                totals[k] += np.asarray(out["counts"][k])
+                part_totals[k] += np.asarray(out["part_counts"][k])
+            nclips += 1
+        report = {"loss": loss, "clips": nclips, "views": {}}
+        for vi, view in enumerate(cfg.model.views):
+            m = overlap_metrics({k: jnp.float32(totals[k][vi])
+                                 for k in totals})
+            parts = overlap_metrics({k: jnp.asarray(part_totals[k][vi])
+                                     for k in part_totals})
+            report["views"][view] = {
+                **{k: float(val) for k, val in m.items()},
+                "part_dice": [float(x) for x in np.asarray(parts["dice"])],
+            }
+            self._log(
+                f"------ {tag} view {view} ------ "
+                f"Dice {report['views'][view]['dice']:.4f} "
+                f"PixelAcc {report['views'][view]['pixel_acc']:.4f} "
+                f"Precision {report['views'][view]['precision']:.4f} "
+                f"Recall {report['views'][view]['recall']:.4f} "
+                f"parts {['%.3f' % p for p in report['views'][view]['part_dice']]}")
+        self._write_log({"eval": tag, **{
+            f"dice_{view}": report["views"][view]["dice"]
+            for view in report["views"]}})
+        return report
+
+    # ---------------------------------------------------------------- utils
+
+    def _log(self, msg: str):
+        if self.verbose:
+            print(f"[glfusion] {msg}", flush=True)
+
+    def _write_log(self, record: dict):
+        self._metrics_file.write(json.dumps(record) + "\n")
+        self._metrics_file.flush()

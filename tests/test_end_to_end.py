@@ -1,0 +1,92 @@
+"""End-to-end: synthetic data → NIfTI IO → loaders → training → eval.
+
+This is the framework's integration test — the tiny config exercises every
+layer (data contract, device preprocessing, model, losses, sharded step,
+checkpointing, clip evaluation) on the 8-virtual-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.data.nifti import read_nifti, write_nifti
+from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+
+
+def test_nifti_roundtrip(tmp_path):
+    for arr in [
+        np.random.RandomState(0).randint(0, 255, (37, 53, 11)).astype(np.uint8),
+        np.random.RandomState(1).randn(5, 16, 16, 8).astype(np.float32),
+        np.random.RandomState(2).randint(0, 5, (16, 16)).astype(np.int16),
+    ]:
+        p = tmp_path / "x.nii.gz"
+        write_nifti(p, arr)
+        back = read_nifti(p)
+        assert back.shape == arr.shape and back.dtype == arr.dtype
+        np.testing.assert_array_equal(back, arr)
+    # uncompressed too
+    p = tmp_path / "y.nii"
+    arr = np.arange(24, dtype=np.int32).reshape(2, 3, 4)
+    write_nifti(p, arr)
+    np.testing.assert_array_equal(read_nifti(p), arr)
+
+
+@pytest.fixture(scope="module")
+def synth(tmp_path_factory):
+    cfg = tiny_config()
+    root = tmp_path_factory.mktemp("synth")
+    paths = generate_synthetic_dataset(root, cfg.data, views=cfg.model.views,
+                                       seed=0)
+    return cfg, paths
+
+
+def test_synthetic_dataset_contract(synth):
+    cfg, paths = synth
+    from glfusion_tpu.data.infos import load_infos
+    infos = load_infos(paths["infos"])
+    assert len(infos) == cfg.data.synthetic_num_patients
+    rec = next(iter(infos.values()))
+    assert rec["dataset_name"] == "rmyy"
+    img = read_nifti(rec["views_images"]["1"])
+    lab = read_nifti(rec["views_labels"]["1"])
+    assert img.shape == lab.shape and img.ndim == 3
+    assert set(np.unique(lab)) <= {0, 1, 2}
+    # test clips: image (1, H, W, T), mask (5, H, W, T)
+    tinfos = load_infos(paths["test_infos"])
+    timg = read_nifti(tinfos["0_0"]["views_images"]["1"])
+    tlab = read_nifti(tinfos["0_0"]["views_labels"]["1"])
+    assert timg.shape[0] == 1 and tlab.shape[0] == 5
+
+
+def test_train_two_epochs_loss_decreases_and_eval_runs(synth, tmp_path):
+    cfg, paths = synth
+    from dataclasses import replace
+    cfg = replace(cfg, train=replace(cfg.train,
+                                     save_dir=str(tmp_path / "ckpt"),
+                                     log_dir=str(tmp_path / "log"),
+                                     num_epochs=2,
+                                     eval_every_epochs=100))
+    from glfusion_tpu.train.trainer import Trainer
+    trainer = Trainer(cfg, data_paths=paths, verbose=False)
+
+    m0 = trainer._train_epoch(0)
+    m1 = trainer._train_epoch(1)
+    assert np.isfinite(m0["loss"]) and np.isfinite(m1["loss"])
+    assert m1["seg_loss"] < m0["seg_loss"], (m0, m1)
+
+    report = trainer.validation_and_test()
+    assert "Inner-val" in report and "Inner-test" in report
+    for view, r in report["Inner-val"]["views"].items():
+        assert 0.0 <= r["dice"] <= 1.0
+        assert len(r["part_dice"]) == 5
+
+    # checkpoint save/restore roundtrip
+    trainer.ckpt.save(trainer.state, epoch=1)
+    restored = trainer.ckpt.restore_latest(trainer.state)
+    assert restored is not None
+    state2, next_epoch = restored
+    assert next_epoch == 2
+    p0 = np.asarray(
+        trainer.state.params["global_attn"]["theta"]["kernel"])
+    p1 = np.asarray(state2.params["global_attn"]["theta"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)
