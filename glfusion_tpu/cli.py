@@ -1,0 +1,129 @@
+"""Command-line entry point — reference ``main.py --mode {train,val,visual}``.
+
+The reference's only flag is ``--mode`` (``main.py:896-898``); every other
+knob lives in an inline config dict (``main.py:909-949``). Here the same
+knobs are proper flags over the dataclass config, with the reference's
+values as defaults. Without ``--data-root`` a synthetic dataset exercises
+the full pipeline (the real corpus is private to the reference authors).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from glfusion_tpu.config import Config, tiny_config
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="glfusion_tpu",
+        description="GL-Fusion multi-view echocardiogram segmentation (TPU)")
+    p.add_argument("--mode", choices=["train", "val", "visual"],
+                   default="train", help="reference main.py:896-898")
+    p.add_argument("--data-root", default=None,
+                   help="dataset root containing infos/, data_list/, .nii.gz;"
+                        " omit to run on synthetic data")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--weight-decay", type=float, default=1e-5)
+    p.add_argument("--views", default="1,3,4",
+                   help="comma-separated view ids (reference main.py:918)")
+    p.add_argument("--variant", default="global_and_local",
+                   choices=["global_and_local", "global_only", "local_only",
+                            "no_fusion", "conv_merge", "fg_bg",
+                            "early_fusion", "late_fusion"])
+    p.add_argument("--clip-length", type=int, default=40)
+    p.add_argument("--no-cycle", action="store_true",
+                   help="disable the temporal cycle-consistency loss")
+    p.add_argument("--dense-cyc", action="store_true",
+                   help="use dense_seg_cycle (reference main.py:719)")
+    p.add_argument("--save-dir", default="./result/ckpt")
+    p.add_argument("--log-dir", default="./result/log_info/log_01")
+    p.add_argument("--resume", action="store_true",
+                   help="restore latest checkpoint before training"
+                        " (reference is_load, main.py:74)")
+    p.add_argument("--method-name", default="glfusion_tpu",
+                   help="visual-mode output subdirectory (main.py:546)")
+    p.add_argument("--tiny", action="store_true",
+                   help="miniature topology for smoke runs")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="model-parallel mesh axis size")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="pin the JAX backend (overrides autodetection; "
+                        "useful when a site-level jax import has already "
+                        "fixed the platform before JAX_PLATFORMS is read)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> Config:
+    from glfusion_tpu.config import ALL_VIEWS
+
+    cfg = tiny_config() if args.tiny else Config()
+    views = tuple(args.views.split(","))
+    bad = [v for v in views if v not in ALL_VIEWS]
+    if bad:
+        raise SystemExit(
+            f"error: --views contains unknown view id(s) {bad}; "
+            f"valid ids are {list(ALL_VIEWS)}")
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, views=views,
+                                  variant=args.variant),
+        data=dataclasses.replace(cfg.data, root=args.data_root,
+                                 clip_length=(cfg.data.clip_length if args.tiny
+                                              else args.clip_length)),
+        opt=dataclasses.replace(cfg.opt, lr=args.lr,
+                                weight_decay=args.weight_decay),
+        train=dataclasses.replace(
+            cfg.train,
+            batch_size=(cfg.train.batch_size if args.tiny else args.batch_size),
+            num_epochs=(cfg.train.num_epochs if args.tiny else args.epochs),
+            use_cycle=not args.no_cycle,
+            dense_cyc=args.dense_cyc,
+            save_dir=args.save_dir,
+            log_dir=args.log_dir,
+            test_views=views,
+            mesh_model=args.mesh_model,
+        ),
+    )
+    return cfg
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.platform is not None:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    cfg = config_from_args(args)
+
+    from glfusion_tpu.train.trainer import Trainer
+
+    data_paths = None
+    if args.data_root is not None:
+        from pathlib import Path
+        root = Path(args.data_root)
+        data_paths = {
+            "infos": str(root / cfg.data.infos_path),
+            "unlab_infos": str(root / cfg.data.unlab_infos_path),
+            "test_infos": str(root / cfg.data.test_infos_path),
+            "data_list_dir": str(root / cfg.data.data_list_dir),
+        }
+
+    trainer = Trainer(cfg, data_paths=data_paths)
+    if args.resume or args.mode in ("val", "visual"):
+        trainer.load_latest()
+
+    if args.mode == "train":
+        trainer.train()
+    elif args.mode == "val":
+        trainer.validation_and_test()
+    elif args.mode == "visual":
+        n = trainer.test_visualize(method_name=args.method_name)
+        print(f"wrote {n} prediction frames")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -16,8 +16,17 @@ TPU-first redesign:
     reference's deep-copied ModuleDicts, ``:1724-1744``) are a stacked
     parameter axis via ``nn.vmap`` — the per-view Python loop becomes one
     compiled, MXU-batched computation.
-  * Ablation variants of the reference (Global_only ``:1999``, Local_only
-    ``:2113``, cyc_nofusion ``:2628``) are config switches, not code copies.
+  * Ablation variants of the reference are config switches, not code copies:
+    Global_only ``:1999``, Local_only ``:2113``, cyc_nofusion ``:2628``
+    (same graph, trainer skips fusion grads), conv_merge ``:2766`` (concat +
+    per-view 1×1 merge), Foreground_and_Background ``:2887`` (global path
+    sees f4·(1−atten)), early_fusion ``:2251`` (input-level view concat →
+    per-view 1×1 mix, no attention), late_fusion ``:2317`` (logit-level
+    concat → per-view 1×1 mix), Global_and_Local_Temporal ``:1846`` (video
+    clips fold T into the attention token axis — implemented by intent; the
+    reference's ``.shape(...)`` call at ``:1962`` never ran).
+  * Global_and_Local_CPS ``:3141`` (cross-pseudo-supervision twin) is the
+    separate ``GlobalAndLocalCPS`` wrapper below.
 """
 
 from __future__ import annotations
@@ -45,12 +54,28 @@ def _per_view(module_cls):
     )
 
 
+class PointwiseConv(nn.Module):
+    """1×1 conv with a (x, train) signature so it lifts under ``_per_view``."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        return nn.Conv(self.features, (1, 1), name="conv")(x)
+
+
 class GlobalAndLocal(nn.Module):
     cfg: ModelConfig
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
-        """x: (V, B, H, W, 1) stacked views → dict of stacked outputs."""
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 is_video: bool = False) -> Dict[str, Any]:
+        """x: (V, B, H, W, 1) stacked views → dict of stacked outputs.
+
+        is_video: treat B as T frames of one clip and fold it into the
+        attention token axis (Global_and_Local_Temporal intent,
+        reference ``models/ours.py:1959-1980``).
+        """
         cfg = self.cfg
         v, b, hh, ww, _ = x.shape
         assert v == cfg.num_views, (v, cfg.num_views)
@@ -83,15 +108,40 @@ class GlobalAndLocal(nn.Module):
         )
 
         attn_impl = "pallas" if cfg.use_pallas_fusion else "auto"
+        variant = cfg.variant
+
+        if variant == "early_fusion":
+            # Input-level fusion (reference :2299-2303): channel-concat the V
+            # 1-ch view images, per-view 1×1 conv mixes V→1 before the
+            # per-view backbone. No attention anywhere.
+            concat = jnp.moveaxis(x[..., 0], 0, -1)       # (B, H, W, V)
+            concat = jnp.broadcast_to(concat[None], (v,) + concat.shape)
+            x = _per_view(PointwiseConv)(features=1, name="early_mix")(
+                concat, train)
 
         f4 = backbone(x, train)  # (V, B, h, w, C)
 
-        variant = cfg.variant
-        use_global = variant in ("global_and_local", "global_only")
-        use_local = variant in ("global_and_local", "local_only")
+        def attend(feat: jnp.ndarray, name: str) -> jnp.ndarray:
+            """TPAVI over (V,B,h,w,C); folds B(=T) into tokens if is_video."""
+            attn = TPAVI(inter_channels=cfg.tpavi_inter_channels,
+                         attn_impl=attn_impl, dtype=cfg.dtype, name=name)
+            y = jnp.swapaxes(feat, 0, 1)  # (B, V, h, w, C)
+            if is_video:
+                bb, vv, fh, fw, fc = y.shape
+                y = y.reshape(1, bb * vv, fh, fw, fc)  # tokens = T·V·h·w
+                y = attn(y, train).reshape(bb, vv, fh, fw, fc)
+            else:
+                y = attn(y, train)
+            return jnp.swapaxes(y, 0, 1)
+
+        use_global = variant in ("global_and_local", "global_only",
+                                 "conv_merge", "fg_bg")
+        use_local = variant in ("global_and_local", "local_only",
+                                "conv_merge", "fg_bg")
 
         f4_global_fusion = None
         f4_local_fusion = None
+        atten = None
 
         if use_local:
             # M_cls: classifier at f4 resolution, sigmoid, max over classes.
@@ -100,34 +150,39 @@ class GlobalAndLocal(nn.Module):
             # M_ctr
             m_ctr = nn.sigmoid(centerness(f4, train))  # (V,B,h,w,1)
             atten = nn.sigmoid(cfg.center_aware_weight * m_cls * m_ctr)
-            f4_local = f4 * atten
-            local_attn = TPAVI(inter_channels=cfg.tpavi_inter_channels,
-                               attn_impl=attn_impl, dtype=cfg.dtype,
-                               name="local_attn")
-            # TPAVI expects (B, V, h, w, C)
-            f4_local_fusion = local_attn(
-                jnp.swapaxes(f4_local, 0, 1), train)
-            f4_local_fusion = jnp.swapaxes(f4_local_fusion, 0, 1)
+            f4_local_fusion = attend(f4 * atten, "local_attn")
 
         if use_global:
-            global_attn = TPAVI(inter_channels=cfg.tpavi_inter_channels,
-                                attn_impl=attn_impl, dtype=cfg.dtype,
-                                name="global_attn")
-            f4_global_fusion = global_attn(jnp.swapaxes(f4, 0, 1), train)
-            f4_global_fusion = jnp.swapaxes(f4_global_fusion, 0, 1)
+            # fg_bg (reference :2997-3000): the global branch attends over the
+            # background-masked features f4·(1−atten) instead of raw f4.
+            g_in = f4 * (1.0 - atten) if variant == "fg_bg" else f4
+            f4_global_fusion = attend(g_in, "global_attn")
 
-        if variant == "global_and_local":
+        if variant in ("global_and_local", "fg_bg"):
             f4_fusion = f4_global_fusion + f4_local_fusion
+        elif variant == "conv_merge":
+            # reference :2795-2798: concat(global, local) → 1×1 conv → ReLU
+            merged = jnp.concatenate([f4_global_fusion, f4_local_fusion],
+                                     axis=-1)
+            f4_fusion = nn.relu(_per_view(PointwiseConv)(
+                features=f4.shape[-1], name="merge")(merged, train))
         elif variant == "global_only":
             f4_fusion = f4_global_fusion
         elif variant == "local_only":
             f4_fusion = f4_local_fusion
-        elif variant == "no_fusion":
+        elif variant in ("no_fusion", "early_fusion", "late_fusion"):
             f4_fusion = f4
         else:
             raise ValueError(f"unknown variant {variant!r}")
 
         mask = classifier(f4_fusion, train)  # (V, B, h, w, 5)
+        if variant == "late_fusion":
+            # Logit-level fusion (reference :2372-2375): concat the V per-view
+            # 5-ch logit maps → per-view 1×1 conv mixes 5V→5.
+            cat = jnp.concatenate([mask[i] for i in range(v)], axis=-1)
+            cat = jnp.broadcast_to(cat[None], (v,) + cat.shape)
+            mask = _per_view(PointwiseConv)(features=cfg.num_classes,
+                                            name="late_mix")(cat, train)
         mask = resize_bilinear(mask, (hh, ww))
         mask_bb = classifier(f4, train)
         mask_bb = resize_bilinear(mask_bb, (hh, ww))
@@ -142,4 +197,28 @@ class GlobalAndLocal(nn.Module):
             "mask_bb": mask_bb,                 # (V, B, H, W, 5) logits
             "f4_global": f4_global_fusion,      # (V, B, h, w, C)
             "f4_local": f4_local_fusion,        # (V, B, h, w, C)
+        }
+
+
+class GlobalAndLocalCPS(nn.Module):
+    """Cross-pseudo-supervision twin (reference ``models/ours.py:3141-3351``).
+
+    Two independently-initialized Global_and_Local networks run on the same
+    multi-view input; the trainer supervises each with the other's
+    thresholded predictions (CPS). Returns both mask sets plus network 1's
+    fusion features (matching the reference's 4-tuple
+    ``(mask, mask_2, f4_global_fusion, f4_local_fusion)`` at ``:3351``).
+    """
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        out1 = GlobalAndLocal(self.cfg, name="net1")(x, train)
+        out2 = GlobalAndLocal(self.cfg, name="net2")(x, train)
+        return {
+            "mask": out1["mask"],
+            "mask_2": out2["mask"],
+            "f4_global": out1["f4_global"],
+            "f4_local": out1["f4_local"],
         }

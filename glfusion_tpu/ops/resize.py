@@ -50,3 +50,32 @@ def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
     """Bilinear resize with align_corners=False semantics on (..., H, W, C)."""
     out_shape = x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1])
     return jax.image.resize(x, out_shape, method="linear")
+
+
+def _linear_weights_ac(out_size: int, in_size: int):
+    """align_corners=True gather indices + lerp weights (static, host-side)."""
+    if out_size == 1 or in_size == 1:
+        lo = np.zeros(out_size, np.int64)
+        return lo, lo, np.zeros(out_size, np.float32)
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    w = (src - lo).astype(np.float32)
+    return lo, hi, w
+
+
+def resize_bilinear_ac(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear with align_corners=True (torch ``align_corners=True``),
+    on (..., H, W, C) — used by the UTNet attention projections
+    (reference ``models/conv_trans_utils.py:190``)."""
+    out_h, out_w = out_hw
+    h_lo, h_hi, h_w = _linear_weights_ac(out_h, x.shape[-3])
+    w_lo, w_hi, w_w = _linear_weights_ac(out_w, x.shape[-2])
+    hw = jnp.asarray(h_w)[:, None, None]
+    ww = jnp.asarray(w_w)[:, None]
+    top = jnp.take(x, jnp.asarray(h_lo), axis=-3)
+    bot = jnp.take(x, jnp.asarray(h_hi), axis=-3)
+    x = top * (1 - hw) + bot * hw
+    left = jnp.take(x, jnp.asarray(w_lo), axis=-2)
+    right = jnp.take(x, jnp.asarray(w_hi), axis=-2)
+    return left * (1 - ww) + right * ww

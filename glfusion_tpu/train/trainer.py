@@ -225,6 +225,33 @@ class Trainer:
             for view in report["views"]}})
         return report
 
+    def test_visualize(self, method_name: str = "glfusion_tpu",
+                       out_dir: str = "./visualze_for_ppt") -> int:
+        """Write per-frame colorized prediction PNGs (main.py:546-648).
+
+        Runs the model over all 10 test clips and saves
+        ``<out>/<method>/192_data/<patient>/<view>/pred_<t>.png``; returns the
+        total number of PNGs written.
+        """
+        from glfusion_tpu.utils.visualize import save_clip_visualization
+
+        cfg = self.cfg
+        ids = sorted(self.test_infos.keys())
+        loader = TestClipLoader(self.test_infos, ids, cfg.model.views,
+                                cfg.data.clip_length)
+        written = 0
+        for clip in loader.clips():
+            batch = {"images": jnp.asarray(clip["images"]),
+                     "masks": jnp.asarray(clip["masks"])}
+            batch = shard_batch(batch, self.mesh, batch_axis=1)
+            out = self.eval_step(self.state, batch)
+            logits = np.asarray(out["logits"])  # (V, T, H, W, 5)
+            for vi, view in enumerate(cfg.model.views):
+                written += save_clip_visualization(
+                    out_dir, method_name, clip["clip_id"], view, logits[vi])
+            self._log(f"patient {clip['clip_id']} pred finished")
+        return written
+
     # ---------------------------------------------------------------- utils
 
     def _log(self, msg: str):

@@ -1,0 +1,61 @@
+"""Cluster environment helpers (reference ``utils/tools.py``), JAX runtime.
+
+The reference parses PMI/OMPI/Azure-Batch env vars to size a (never-used)
+torch.distributed launch. The TPU-native equivalent keeps the same env-var
+contract for MPI-style launchers but resolves through the JAX distributed
+runtime: ``jax.process_count()`` / ``jax.process_index()`` are the source of
+truth once ``initialize_distributed()`` has run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+
+def get_world_size() -> int:
+    """Process count (reference utils/tools.py:5-14)."""
+    for var in ("PMI_SIZE", "OMPI_COMM_WORLD_SIZE"):
+        if os.environ.get(var) is not None:
+            return int(os.environ[var] or 1)
+    return jax.process_count()
+
+
+def get_global_rank() -> int:
+    """Global process rank (reference utils/tools.py:17-26)."""
+    for var in ("PMI_RANK", "OMPI_COMM_WORLD_RANK"):
+        if os.environ.get(var) is not None:
+            return int(os.environ[var] or 0)
+    return jax.process_index()
+
+
+def get_local_rank() -> int:
+    """Node-local rank (reference utils/tools.py:29-38)."""
+    for var in ("MPI_LOCALRANKID", "OMPI_COMM_WORLD_LOCAL_RANK"):
+        if os.environ.get(var) is not None:
+            return int(os.environ[var] or 0)
+    return 0
+
+
+def get_master_ip() -> str:
+    """Coordinator address (reference utils/tools.py:41-46)."""
+    if os.environ.get("AZ_BATCH_MASTER_NODE") is not None:
+        return os.environ["AZ_BATCH_MASTER_NODE"].split(":")[0]
+    if os.environ.get("AZ_BATCHAI_MPI_MASTER_NODE") is not None:
+        return os.environ["AZ_BATCHAI_MPI_MASTER_NODE"]
+    return "127.0.0.1"
+
+
+def initialize_distributed(port: int = 23455) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with the same
+    coordinator discovery the reference computed (``main.py:953``) but never
+    used. No-op for single-process runs.
+    """
+    if get_world_size() <= 1 or jax.process_count() > 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=f"{get_master_ip()}:{port}",
+        num_processes=get_world_size(),
+        process_id=get_global_rank(),
+    )

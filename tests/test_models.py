@@ -144,3 +144,76 @@ def test_global_and_local_train_mode_updates_batch_stats():
     old = vars_["batch_stats"]["backbone"]["stem_bn"]["mean"]
     new = updates["batch_stats"]["backbone"]["stem_bn"]["mean"]
     assert not np.allclose(np.asarray(old), np.asarray(new))
+
+
+@pytest.mark.parametrize("variant", ["conv_merge", "fg_bg", "early_fusion",
+                                     "late_fusion"])
+def test_variant_forward_shapes(variant):
+    cfg = tiny_config().model
+    cfg = ModelConfig(**{**cfg.__dict__, "variant": variant})
+    model = GlobalAndLocal(cfg)
+    x = jnp.zeros((3, 2, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(vars_, x, False)
+    assert out["mask"].shape == (3, 2, 32, 32, 5)
+
+
+def test_temporal_video_mode_folds_frames_into_tokens():
+    """Global_and_Local_Temporal intent (reference ours.py:1959-1980)."""
+    cfg = tiny_config().model
+    model = GlobalAndLocal(cfg)
+    import flax
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 32, 32, 1))  # T=4
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    # un-zero the TPAVI out-proj BN so the attention path contributes
+    # (zero-init makes the block LN(x) regardless of tokens at init)
+    p = flax.core.unfreeze(vars_["params"])
+    for attn in ("global_attn", "local_attn"):
+        p[attn]["w_z_bn"]["scale"] = (
+            jnp.ones_like(p[attn]["w_z_bn"]["scale"]))
+    vars_ = {"params": p, "batch_stats": vars_["batch_stats"]}
+    out = model.apply(vars_, x, False, True)  # is_video=True
+    assert out["mask"].shape == (3, 4, 32, 32, 5)
+    # video mode attends across frames → differs from per-frame attention
+    out_frame = model.apply(vars_, x, False, False)
+    assert not np.allclose(np.asarray(out["mask"]),
+                           np.asarray(out_frame["mask"]), atol=1e-6)
+
+
+def test_cps_twin_returns_two_independent_predictions():
+    from glfusion_tpu.models import GlobalAndLocalCPS
+    cfg = tiny_config().model
+    model = GlobalAndLocalCPS(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 1, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(vars_, x, False)
+    assert out["mask"].shape == out["mask_2"].shape == (3, 1, 32, 32, 5)
+    # independently initialized twins → different predictions
+    assert not np.allclose(np.asarray(out["mask"]),
+                           np.asarray(out["mask_2"]), atol=1e-6)
+
+
+@pytest.mark.parametrize("ctor_kw", [
+    dict(),
+    dict(recurrent=True),
+    dict(attention=True),
+    dict(recurrent=True, attention=True),
+])
+def test_unet_family_shapes(ctor_kw):
+    from glfusion_tpu.models import UNet
+    model = UNet(out_channels=5, widths=(4, 8, 12, 16, 20), **ctor_kw)
+    x = jnp.zeros((2, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    y = model.apply(vars_, x, False)
+    assert y.shape == (2, 32, 32, 5)
+
+
+@pytest.mark.parametrize("fuse", [False, True])
+def test_multiview_unet_shapes(fuse):
+    from glfusion_tpu.models import MultiviewUNet
+    model = MultiviewUNet(num_classes=5, widths=(4, 8, 12, 16, 20), fuse=fuse)
+    x = jnp.zeros((3, 2, 32, 32, 1))
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(vars_, x, False)
+    assert out["mask"].shape == (3, 2, 32, 32, 5)
+    assert out["bottleneck"].shape == (3, 2, 2, 2, 20)

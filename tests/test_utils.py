@@ -1,0 +1,109 @@
+"""Scalar metrics, visualization LUT, cluster helpers, CLI config."""
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def test_regression_scores_match_sklearn():
+    from sklearn.metrics import (mean_absolute_error, mean_squared_error,
+                                 r2_score)
+
+    from glfusion_tpu.utils.scores import c_index, mae, mse, r2, rmse
+
+    yt = np.array([30.0, 45.0, 60.0, 25.0, 80.0])
+    yp = np.array([33.0, 40.0, 66.0, 28.0, 70.0])
+    assert abs(float(mse(yt, yp)) - mean_squared_error(yt, yp)) < 1e-5
+    assert abs(float(mae(yt, yp)) - mean_absolute_error(yt, yp)) < 1e-5
+    assert abs(float(rmse(yt, yp)) - np.sqrt(mean_squared_error(yt, yp))) < 1e-5
+    assert abs(float(r2(yt, yp)) - r2_score(yt, yp)) < 1e-5
+    assert float(c_index(yt, yp)) == 100.0
+    assert float(c_index(yt, -yp)) == 0.0
+
+
+def test_dice_score_binary_perfect_and_empty():
+    from glfusion_tpu.utils.scores import dice_score_binary
+
+    pred = jnp.stack([jnp.zeros((2, 4, 4)), jnp.ones((2, 4, 4))], axis=1)
+    true = jnp.ones((2, 1, 4, 4), jnp.int32)
+    assert abs(float(dice_score_binary(true, pred)) - 1.0) < 1e-6
+
+
+def test_class_map_background_wins_when_nothing_fires():
+    from glfusion_tpu.utils.visualize import class_map
+
+    logits = jnp.full((1, 4, 4, 5), -5.0)  # sigmoid < 0.5 everywhere
+    assert int(class_map(logits).sum()) == 0
+
+
+def test_class_map_argmax_matches_reference_rule():
+    from glfusion_tpu.utils.visualize import COLOR_TABLE, class_map, colorize
+
+    logits = np.full((2, 2, 5), -5.0)
+    logits[0, 0, 2] = 5.0   # channel 2 fires → class 3
+    logits[1, 1, 0] = 5.0   # channel 0 fires → class 1
+    cm = np.asarray(class_map(jnp.asarray(logits)))
+    assert cm[0, 0] == 3 and cm[1, 1] == 1 and cm[0, 1] == 0
+    rgba = colorize(cm)
+    assert rgba.shape == (2, 2, 4)
+    assert (rgba[0, 0] == COLOR_TABLE[3]).all()
+
+
+def test_save_clip_visualization_writes_pngs(tmp_path):
+    from glfusion_tpu.utils.visualize import save_clip_visualization
+
+    logits = np.random.RandomState(0).randn(3, 8, 8, 5).astype(np.float32)
+    n = save_clip_visualization(tmp_path, "m", "0_0", "1", logits)
+    assert n == 3
+    files = sorted((tmp_path / "m" / "192_data" / "0_0" / "1").glob("*.png"))
+    assert len(files) == 3
+
+
+def test_cluster_helpers_env_contract(monkeypatch):
+    from glfusion_tpu.utils import cluster
+
+    monkeypatch.setenv("OMPI_COMM_WORLD_SIZE", "4")
+    monkeypatch.setenv("OMPI_COMM_WORLD_RANK", "2")
+    monkeypatch.setenv("OMPI_COMM_WORLD_LOCAL_RANK", "1")
+    monkeypatch.setenv("AZ_BATCH_MASTER_NODE", "10.0.0.5:6000")
+    assert cluster.get_world_size() == 4
+    assert cluster.get_global_rank() == 2
+    assert cluster.get_local_rank() == 1
+    assert cluster.get_master_ip() == "10.0.0.5"
+
+
+def test_cluster_helpers_jax_fallback(monkeypatch):
+    import jax
+
+    from glfusion_tpu.utils import cluster
+
+    for var in ("PMI_SIZE", "OMPI_COMM_WORLD_SIZE", "PMI_RANK",
+                "OMPI_COMM_WORLD_RANK", "AZ_BATCH_MASTER_NODE",
+                "AZ_BATCHAI_MPI_MASTER_NODE"):
+        monkeypatch.delenv(var, raising=False)
+    assert cluster.get_world_size() == jax.process_count()
+    assert cluster.get_master_ip() == "127.0.0.1"
+
+
+def test_cli_config_from_args_reference_defaults():
+    from glfusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(["--mode", "train"])
+    cfg = config_from_args(args)
+    assert cfg.train.batch_size == 8
+    assert cfg.train.num_epochs == 100
+    assert cfg.opt.lr == 3e-4
+    assert cfg.model.views == ("1", "3", "4")
+    assert cfg.data.clip_length == 40
+    assert cfg.train.use_cycle
+
+
+def test_cli_variant_and_views_flags():
+    from glfusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--mode", "val", "--variant", "global_only", "--views", "1,4",
+         "--no-cycle", "--tiny"])
+    cfg = config_from_args(args)
+    assert cfg.model.variant == "global_only"
+    assert cfg.model.views == ("1", "4")
+    assert not cfg.train.use_cycle
