@@ -90,6 +90,9 @@ class DataConfig:
     resize_hw: int = 144
     crop_hw: int = 112
     clip_length: int = 40  # main.py:917
+    # regression (PAHDataset) clip frame count (loader.py:157: spatial_size
+    # (144,144,48))
+    reg_clip_frames: int = 48
     # Train dataset epoch multiplier (datasets/loader.py: __len__ ×4)
     train_repeat: int = 4
     # synthetic-data knobs (when root is None)

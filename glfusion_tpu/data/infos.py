@@ -31,6 +31,10 @@ class PatientIndex:
                 "masks": v["views_labels"],
                 "fold": v.get("fold"),
                 "dataset_name": v.get("dataset_name"),
+                # regression targets (reference loader.py:141-151)
+                "mPAP": v.get("mPAP"),
+                "Vmax": v.get("Vmax"),
+                "Ps": v.get("Ps"),
             }
             for k, v in infos.items()
             if v.get("dataset_name") in set(set_select)

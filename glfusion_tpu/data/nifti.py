@@ -42,7 +42,22 @@ def _read_bytes(path: str | Path) -> bytes:
 
 
 def read_nifti(path: str | Path) -> np.ndarray:
-    """Read a NIfTI-1 volume; returns the array in its natural (x, y, ...) shape."""
+    """Read a NIfTI-1 volume; returns the array in its natural (x, y, ...) shape.
+
+    Uses the native C++ decoder (glfusion_tpu/native) when available —
+    zlib inflate + voxel conversion off the GIL — else pure Python.
+    """
+    try:
+        from glfusion_tpu.native import native_available, read_nifti_native
+        if native_available():
+            return read_nifti_native(path)
+    except Exception:
+        pass
+    return read_nifti_py(path)
+
+
+def read_nifti_py(path: str | Path) -> np.ndarray:
+    """Pure-Python reference implementation."""
     raw = _read_bytes(path)
     if len(raw) < 348:
         raise ValueError(f"{path}: truncated NIfTI header")

@@ -212,6 +212,163 @@ class TestClipLoader:
                    "masks": np.stack(masks)}   # (V, T, H, W, 5)
 
 
+class RegressionClipLoader:
+    """Multi-view video clips + scalar target (``PAHDataset``, loader.py:35-189).
+
+    Reference contract: per patient, each requested view is nearest-resized
+    to (144,144,48), random/center-cropped to (112,112,48) and /255; views
+    stack on a leading axis; the label is the scalar ``mPAP`` (or ``Vmax``).
+    Patients with NaN targets are skipped (``loader.py:140-151``).
+
+    Yields host batches: clips_raw (V, B, R, R, T) float32 raw intensity +
+    targets (B,); ``preprocess_regression_batch`` does the device crop.
+    """
+
+    def __init__(self, index: PatientIndex, ids: Sequence[str],
+                 views: Sequence[str], cfg: Config, is_train: bool,
+                 label_type: str = "mPAP", seed: int = 0):
+        self.index = index
+        self.views = tuple(views)
+        self.cfg = cfg
+        self.is_train = is_train
+        self.label_type = label_type
+        self.seed = seed
+        self.ids = [
+            i for i in ids if i in index.records
+            and index.records[i].get(label_type) is not None
+            and not np.isnan(index.records[i][label_type])
+        ]
+        self._cache: Dict[tuple, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def _load(self, pid: str, view: str, t: int, r: int):
+        key = (pid, view)
+        if key not in self._cache:
+            img_p, _ = self.index.view_paths(pid, view)
+            if img_p is None:
+                self._cache[key] = None
+            else:
+                vol = np.asarray(read_nifti(img_p), np.float32).squeeze()
+                # nearest resize H, W → r and T → t (MONAI Resized semantics)
+                hi = np.asarray(_nearest_indices(r, vol.shape[0]))
+                wi = np.asarray(_nearest_indices(r, vol.shape[1]))
+                ti = np.asarray(_nearest_indices(t, vol.shape[2]))
+                self._cache[key] = vol[hi][:, wi][:, :, ti]
+        return self._cache[key]
+
+    def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
+        rs = np.random.RandomState(self.seed + epoch if self.is_train
+                                   else self.seed)
+        order = np.arange(len(self.ids))
+        if self.is_train:
+            rs.shuffle(order)
+        r = self.cfg.data.resize_hw
+        t = self.cfg.data.reg_clip_frames
+        nb = max(len(order) // batch_size, 1)
+        for b in range(nb):
+            take = order[b * batch_size:(b + 1) * batch_size]
+            if len(take) == 0:
+                return
+            clips = np.zeros((len(self.views), len(take), r, r, t),
+                             np.float32)
+            targets = np.zeros(len(take), np.float32)
+            for bi, oi in enumerate(take):
+                pid = self.ids[oi]
+                targets[bi] = float(self.index.records[pid][self.label_type])
+                for vi, view in enumerate(self.views):
+                    vol = self._load(pid, view, t, r)
+                    if vol is not None:
+                        clips[vi, bi] = vol
+            yield {"clips_raw": clips, "targets": targets}
+
+
+class AllMaskFrameLoader:
+    """Every annotated frame is one sample (``Seg_PAHDataset_all_mask``,
+    loader.py:1340-1678): enumerates (patient, view, frame) triples whose
+    raw label sum exceeds 100, in deterministic order."""
+
+    def __init__(self, index: PatientIndex, ids: Sequence[str],
+                 views: Sequence[str], cfg: Config):
+        self.index = index
+        self.views = tuple(views)
+        self.cfg = cfg
+        self.items: list[tuple] = []
+        self._cache: Dict[tuple, tuple] = {}
+        for pid in ids:
+            if pid not in index.records:
+                continue
+            for view in self.views:
+                img_p, lab_p = index.view_paths(pid, view)
+                if img_p is None:
+                    continue
+                lab = np.asarray(read_nifti(lab_p)).squeeze()
+                if lab.ndim == 2:
+                    lab = lab[..., None]
+                score = lab.reshape(-1, lab.shape[-1]).sum(0)
+                for fr in np.flatnonzero(score > 100):
+                    self.items.append((pid, view, int(fr)))
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def frames(self) -> Iterator[dict]:
+        r = self.cfg.data.resize_hw
+        for pid, view, fr in self.items:
+            key = (pid, view)
+            if key not in self._cache:
+                img_p, lab_p = self.index.view_paths(pid, view)
+                img = np.asarray(read_nifti(img_p)).squeeze()
+                lab = np.asarray(read_nifti(lab_p)).squeeze()
+                if img.ndim == 2:
+                    img, lab = img[..., None], lab[..., None]
+                self._cache[key] = (img, lab)
+            img, lab = self._cache[key]
+            yield {
+                "patient": pid, "view": view, "frame": fr,
+                "image_raw": _resize_nearest_np(
+                    img[..., fr].astype(np.float32), (r, r)),
+                "mask_raw": _resize_nearest_np(
+                    lab[..., fr].astype(np.int32), (r, r)),
+            }
+
+
+class FullVideoLoader:
+    """Whole labeled videos per patient/view (``Align_Seg_PAHDataset``,
+    loader.py:745-963): the full frame sequence with raw per-frame labels,
+    nearest-resized spatially; no cropping (eval-style)."""
+
+    def __init__(self, index: PatientIndex, ids: Sequence[str],
+                 views: Sequence[str], cfg: Config):
+        self.index = index
+        self.ids = [i for i in ids if i in index.records]
+        self.views = tuple(views)
+        self.cfg = cfg
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def videos(self) -> Iterator[dict]:
+        r = self.cfg.data.resize_hw
+        for pid in self.ids:
+            out = {"patient": pid, "views": {}}
+            for view in self.views:
+                img_p, lab_p = self.index.view_paths(pid, view)
+                if img_p is None:
+                    continue
+                img = np.asarray(read_nifti(img_p), np.float32).squeeze()
+                lab = np.asarray(read_nifti(lab_p), np.int32).squeeze()
+                if img.ndim == 2:
+                    img, lab = img[..., None], lab[..., None]
+                out["views"][view] = {
+                    "images_raw": _resize_nearest_np(img, (r, r)),
+                    "masks_raw": _resize_nearest_np(lab, (r, r)),
+                }
+            if out["views"]:
+                yield out
+
+
 # -------------------------------------------------------------- device side
 
 @functools.partial(jax.jit, static_argnames=("crop_hw", "is_train", "view_ids"))
@@ -250,6 +407,33 @@ def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
 
     masks5 = jax.vmap(remap)(view_idx, msks)  # (V, B, c, c, 5)
     return {"images": imgs.astype(jnp.float32), "masks": masks5}
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "is_train"))
+def preprocess_regression_batch(rng: jax.Array, clips_raw: jnp.ndarray, *,
+                                crop_hw: int, is_train: bool) -> jnp.ndarray:
+    """Device crop + /255 for regression clips (PAHDataset transform,
+    loader.py:155-185): (V, B, R, R, T) → (V, B, c, c, T) in [0,1].
+    The crop window is shared across a sample's views and frames."""
+    v, b, r, _, t = clips_raw.shape
+    c = crop_hw
+    if is_train:
+        def crop_one(rng, clip):  # clip: (V, R, R, T) per sample
+            k = jax.random.split(rng, 2)
+            sh = jax.random.randint(k[0], (), 0, r - c + 1)
+            sw = jax.random.randint(k[1], (), 0, r - c + 1)
+            return jax.lax.dynamic_slice(
+                clip, (0, sh, sw, 0), (v, c, c, t))
+
+        rngs = jax.random.split(rng, b)
+        per_sample = jnp.swapaxes(clips_raw, 0, 1)  # (B, V, R, R, T)
+        out = jax.vmap(crop_one)(rngs, per_sample)
+        out = jnp.swapaxes(out, 0, 1)
+    else:
+        off = (r - c) // 2
+        out = jax.lax.dynamic_slice(
+            clips_raw, (0, 0, off, off, 0), (v, b, c, c, t))
+    return out / 255.0
 
 
 def view_ids_tuple(views: Sequence[str]) -> tuple[int, ...]:

@@ -1,0 +1,314 @@
+"""AVS-derived encoder-decoder baselines (reference ``models/ResNet_AVSModel.py``
++ the 2-branch backbone in ``models/resnet.py``).
+
+Behavior contract:
+  * ``B2_ResNet`` (reference ``resnet.py:82-140``): ImageNet-style ResNet-50
+    — 3-ch 7×7 s2 stem, maxpool, shared layer1/2, then TWO independent
+    layer3/layer4 forks. Echo inputs are 1-ch repeated to 3
+    (``ResNet_AVSModel.py:497``).
+  * ``Classifier_Module`` (``:11-24``): sum of four dilated 3×3 convs
+    (rates 3/6/12/18) projecting a stage to `channel`.
+  * RefineNet-style decoder: ``ResidualConvUnit`` (``:42-72``) and
+    ``FeatureFusionBlock`` (``:75-119``) — add skip through an RCU, two
+    convs, bilinear (align_corners=True) upsample to the next stage's
+    resolution; output head conv→×2 upsample→conv→ReLU→1×1 to 5 classes
+    (``:185-191``).
+  * ``Pred_endecoder`` (``:158``): main view + other view through two
+    B2_ResNets; per-stage cross-view TPAVI (keys from the other view —
+    implemented by intent, the shipped audio-path reshape cannot run on
+    echo shapes); decode main view only.
+  * ``transformer`` (``:382-413``): view-concat CHANNEL-token attention —
+    tokens are the C·V channels, token dim is h·w; BN residual + LayerNorm
+    over the per-view re-split — used per stage by ``AVS_Transfusion :416``.
+  * ``AVS_baseline :791``: per-view independent decode, no fusion,
+    identity-width Classifier_Modules (256/512/1024/2048).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from glfusion_tpu.models.tpavi import TPAVI
+from glfusion_tpu.ops.pooling import max_pool_3x3_s2
+from glfusion_tpu.ops.resize import resize_bilinear, resize_bilinear_ac
+
+_BN = dict(epsilon=1e-5, momentum=0.9)
+
+
+class _Bottleneck(nn.Module):
+    planes: int
+    strides: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        out_ch = self.planes * 4
+        residual = x
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.planes, (3, 3), strides=(self.strides,) * 2,
+                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3", **_BN)(y)
+        if self.strides != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(out_ch, (1, 1), strides=(self.strides,) * 2,
+                               use_bias=False, name="down_conv")(x)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    name="down_bn", **_BN)(residual)
+        return nn.relu(y + residual)
+
+
+class B2ResNet(nn.Module):
+    """2-branch ResNet-50: shared stem/layer1/2, forked layer3/4.
+
+    Returns the per-stage taps (x1, x2, x3_1, x4_1, x3_2, x4_2) so callers
+    can use either branch's features (reference resnet.py:128-140 returns
+    only the two layer4 outputs; the AVS decoder additionally taps
+    layer1/2/3_1, ResNet_AVSModel.py:245-258).
+    """
+
+    widths: Sequence[int] = (64, 128, 256, 512)
+    blocks: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        w = self.widths
+        x = nn.Conv(w[0], (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                    use_bias=False, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(x)
+        x = nn.relu(x)
+        x = max_pool_3x3_s2(x)
+        for b in range(self.blocks[0]):
+            x = _Bottleneck(w[0], name=f"layer1_b{b}")(x, train)
+        x1 = x
+        for b in range(self.blocks[1]):
+            x = _Bottleneck(w[1], strides=2 if b == 0 else 1,
+                            name=f"layer2_b{b}")(x, train)
+        x2 = x
+        y1, y2 = x, x
+        for b in range(self.blocks[2]):
+            y1 = _Bottleneck(w[2], strides=2 if b == 0 else 1,
+                             name=f"layer3_1_b{b}")(y1, train)
+        x3_1 = y1
+        for b in range(self.blocks[3]):
+            y1 = _Bottleneck(w[3], strides=2 if b == 0 else 1,
+                             name=f"layer4_1_b{b}")(y1, train)
+        for b in range(self.blocks[2]):
+            y2 = _Bottleneck(w[2], strides=2 if b == 0 else 1,
+                             name=f"layer3_2_b{b}")(y2, train)
+        x3_2 = y2
+        for b in range(self.blocks[3]):
+            y2 = _Bottleneck(w[3], strides=2 if b == 0 else 1,
+                             name=f"layer4_2_b{b}")(y2, train)
+        return x1, x2, x3_1, y1, x3_2, y2
+
+
+class ClassifierModule(nn.Module):
+    """Sum of dilated 3×3 convs (reference ResNet_AVSModel.py:11-24)."""
+
+    features: int
+    rates: Sequence[int] = (3, 6, 12, 18)
+
+    @nn.compact
+    def __call__(self, x):
+        out = 0.0
+        for i, r in enumerate(self.rates):
+            out = out + nn.Conv(self.features, (3, 3),
+                                padding=((r, r), (r, r)),
+                                kernel_dilation=(r, r), use_bias=True,
+                                name=f"conv{i}")(x)
+        return out
+
+
+class ResidualConvUnit(nn.Module):
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(
+            nn.relu(x))
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(
+            nn.relu(y))
+        return y + x
+
+
+class FeatureFusionBlock(nn.Module):
+    """RefineNet fusion: (+skip via RCU) → RCU → convs → upsample to target."""
+
+    out_features: int
+    target_hw: tuple
+
+    @nn.compact
+    def __call__(self, x, skip=None):
+        if skip is not None:
+            x = x + ResidualConvUnit(name="rcu1")(skip)
+        x = ResidualConvUnit(name="rcu2")(x)
+        x = nn.relu(x)
+        x = nn.Conv(x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv1")(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_features, (3, 3), padding=((1, 1), (1, 1)),
+                    name="conv2")(x)
+        return resize_bilinear_ac(x, self.target_hw)
+
+
+class OutputHead(nn.Module):
+    """conv→×2 bilinear→conv→ReLU→1×1 to num_classes (reference :185-191)."""
+
+    num_classes: int = 5
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        h, w = x.shape[-3] * 2, x.shape[-2] * 2
+        x = resize_bilinear(x, (h, w))
+        x = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(x)
+        x = nn.relu(x)
+        return nn.Conv(self.num_classes, (1, 1), name="out")(x)
+
+
+class ViewChannelTransformer(nn.Module):
+    """Reference ``transformer`` (:382-413): view-concat channel-token
+    self-attention. x: (V, B, h, w, C) → same."""
+
+    heads: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        v, b, h, w, c = x.shape
+        n_embd = h * w
+        # tokens: (B, V·C, h·w)
+        tok = jnp.transpose(x, (1, 0, 4, 2, 3)).reshape(b, v * c, n_embd)
+        q = nn.Dense(n_embd, name="query")(tok)
+        k = nn.Dense(n_embd, name="key")(tok)
+        val = nn.Dense(n_embd, name="value")(tok)
+        att = nn.softmax(
+            jnp.einsum("btd,bsd->bts", q, k) / jnp.sqrt(n_embd), -1)
+        y = jnp.einsum("bts,bsd->btd", att, val)
+        y = nn.Dense(n_embd, name="proj")(y)
+        # BN over the V·C "channel" axis, residual, LayerNorm over channels
+        y = nn.BatchNorm(use_running_average=not train, axis=1,
+                         name="bn", **_BN)(y)
+        tok = tok + y
+        out = tok.reshape(b, v, c, h, w)
+        out = jnp.transpose(out, (0, 3, 4, 2, 1))  # (B, h, w, C, V)
+        out = nn.LayerNorm(
+            epsilon=1e-5, reduction_axes=(-2, -1), name="norm")(out)
+        return jnp.transpose(out, (4, 0, 1, 2, 3))  # (V, B, h, w, C)
+
+
+class PredEndecoder(nn.Module):
+    """Main-view + other-view cross-attention segmenter (reference :158-340).
+
+    Inputs: main (B, H, W, 1), other (B, H, W, 1). Output (B, ~H, ~W, 5).
+    """
+
+    channel: int = 256
+    tpavi_stages: Sequence[int] = (0, 1, 2, 3)
+    num_classes: int = 5
+    widths: Sequence[int] = (64, 128, 256, 512)
+    blocks: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, main, other, train: bool = False):
+        main = jnp.repeat(main, 3, axis=-1)
+        other = jnp.repeat(other, 3, axis=-1)
+        bb1 = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet")
+        bb2 = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet2")
+        x1, x2, x3, x4, _, _ = bb1(main, train)
+        o1, o2, o3, o4, _, _ = bb2(other, train)
+        feats = [x1, x2, x3, x4]
+        ofeats = [o1, o2, o3, o4]
+        heads = [ClassifierModule(self.channel, name=f"conv{i + 1}")
+                 for i in range(4)]
+        fm = [heads[i](feats[i]) for i in range(4)]
+        om = [heads[i](ofeats[i]) for i in range(4)]
+
+        for i in self.tpavi_stages:
+            attn = TPAVI(name=f"tpavi_b{i + 1}")
+            q = fm[i][:, None]  # (B, 1, h, w, C)
+            kv = om[i][:, None]
+            fm[i] = attn(q, train, kv)[:, 0]
+
+        t4 = fm[2].shape[1:3]
+        t3 = fm[1].shape[1:3]
+        t2 = fm[0].shape[1:3]
+        t1 = (fm[0].shape[1] * 2, fm[0].shape[2] * 2)
+        y = FeatureFusionBlock(self.channel, t4, name="path4")(fm[3])
+        y = FeatureFusionBlock(self.channel, t3, name="path3")(y, fm[2])
+        y = FeatureFusionBlock(self.channel, t2, name="path2")(y, fm[1])
+        y = FeatureFusionBlock(self.channel, t1, name="path1")(y, fm[0])
+        return OutputHead(self.num_classes, name="output_conv")(y)
+
+
+class AVSTransfusion(nn.Module):
+    """Per-view shared encoder + per-stage channel-transformer fusion +
+    per-view decode (reference AVS_Transfusion :416-603).
+
+    Input (V, B, H, W, 1) → (V, B, ~H, ~W, 5).
+    """
+
+    channel: int = 256
+    fuse_stages: Sequence[int] = (0, 1, 2, 3)
+    num_classes: int = 5
+    widths: Sequence[int] = (64, 128, 256, 512)
+    blocks: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        v = x.shape[0]
+        x = jnp.repeat(x, 3, axis=-1)
+        bb = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet")
+        heads = [ClassifierModule(self.channel, name=f"conv{i + 1}")
+                 for i in range(4)]
+
+        fm = [[] for _ in range(4)]
+        for vi in range(v):
+            x1, x2, x3, x4, _, _ = bb(x[vi], train)
+            taps = [x1, x2, x3, x4]
+            for i in range(4):
+                fm[i].append(heads[i](taps[i]))
+        fm = [jnp.stack(f) for f in fm]  # each (V, B, h, w, C)
+
+        for i in self.fuse_stages:
+            fm[i] = ViewChannelTransformer(name=f"attn{i + 1}")(fm[i], train)
+
+        t4 = fm[2].shape[2:4]
+        t3 = fm[1].shape[2:4]
+        t2 = fm[0].shape[2:4]
+        t1 = (fm[0].shape[2] * 2, fm[0].shape[3] * 2)
+        paths = [FeatureFusionBlock(self.channel, t4, name="path4"),
+                 FeatureFusionBlock(self.channel, t3, name="path3"),
+                 FeatureFusionBlock(self.channel, t2, name="path2"),
+                 FeatureFusionBlock(self.channel, t1, name="path1")]
+        head = OutputHead(self.num_classes, name="output_conv")
+        outs = []
+        for vi in range(v):
+            y = paths[0](fm[3][vi])
+            y = paths[1](y, fm[2][vi])
+            y = paths[2](y, fm[1][vi])
+            y = paths[3](y, fm[0][vi])
+            outs.append(head(y))
+        return jnp.stack(outs)
+
+
+class AVSBaseline(nn.Module):
+    """Per-view independent decode, no cross-view fusion
+    (reference AVS_baseline :791-955). Input (V, B, H, W, 1)."""
+
+    channel: int = 256
+    num_classes: int = 5
+    widths: Sequence[int] = (64, 128, 256, 512)
+    blocks: Sequence[int] = (3, 4, 6, 3)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return AVSTransfusion(channel=self.channel, fuse_stages=(),
+                              num_classes=self.num_classes,
+                              widths=tuple(self.widths),
+                              blocks=tuple(self.blocks),
+                              name="body")(x, train)

@@ -34,16 +34,26 @@ class TPAVI(nn.Module):
     dtype: str = "float32"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        """x: (B, V, H, W, C) → (B, V, H, W, C)."""
+    def __call__(self, x: jnp.ndarray, train: bool,
+                 kv: jnp.ndarray | None = None) -> jnp.ndarray:
+        """x: (B, V, H, W, C) → (B, V, H, W, C).
+
+        kv: optional same-shape feature volume supplying the φ keys
+        (cross-view attention — the intent of the reference's
+        ``tpavi_vv_multiview``, ``models/ResNet_AVSModel.py:221-227``;
+        its shipped audio-path reshape crashes on echo shapes, so the
+        cross path is implemented by intent: queries/values from x,
+        keys from the other view). Defaults to self-attention.
+        """
         b, v, h, w, c = x.shape
         inter = self.inter_channels or max(c // 2, 1)
         dtype = jnp.dtype(self.dtype)
         n = v * h * w
 
         tokens = x.reshape(b, n, c)
+        kv_tokens = tokens if kv is None else kv.reshape(b, n, c)
         theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
-        phi = nn.Dense(inter, dtype=dtype, name="phi")(tokens)
+        phi = nn.Dense(inter, dtype=dtype, name="phi")(kv_tokens)
         g = nn.Dense(inter, dtype=dtype, name="g")(tokens)
 
         if self.attn_impl == "pallas":

@@ -1,0 +1,147 @@
+"""mPAP regression training path.
+
+The reference ships the pieces of a video→scalar regression task without a
+wired trainer: ``PAHDataset`` (loader.py:35-189, mPAP/Vmax targets),
+regression backbones (``Resnet50PAH`` resnet3d.py:355, ``TimeSformer``
+TimeSformer.py:219, ``r2plus1d_18_iekd`` rnet2dp1.py:436) and the scalar
+metrics (utils/metrics.py). This module wires them the TPU way: jitted MSE
+train step over a data-parallel mesh, metric accumulation in-graph.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from glfusion_tpu.config import Config
+from glfusion_tpu.data.infos import PatientIndex, load_infos, load_split
+from glfusion_tpu.data.pipeline import (
+    RegressionClipLoader,
+    preprocess_regression_batch,
+)
+from glfusion_tpu.parallel import make_mesh, shard_batch
+from glfusion_tpu.train.train_state import TrainState
+from glfusion_tpu.utils.scores import mae, mse, r2, rmse
+
+
+def make_regression_train_step(model):
+    @jax.jit
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
+        def loss_fn(params):
+            out, updates = state.apply_fn(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["clips"], True,
+                mutable=["batch_stats"], rngs={"dropout": rng})
+            pred = out[0] if isinstance(out, tuple) else out
+            pred = pred[..., 0]
+            loss = jnp.mean((pred - batch["targets"]) ** 2)
+            return loss, (updates.get("batch_stats", {}), pred)
+
+        (loss, (bstats, pred)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads=grads)
+        if bstats:
+            state = state.replace(batch_stats=bstats)
+        return state, {"loss": loss, "pred": pred}
+
+    return step
+
+
+def make_regression_eval_step(model):
+    @jax.jit
+    def step(state: TrainState, batch):
+        out = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["clips"], False)
+        pred = out[0] if isinstance(out, tuple) else out
+        return pred[..., 0]
+
+    return step
+
+
+class RegressionTrainer:
+    """Video clips → scalar mPAP; reports MSE/MAE/RMSE/R² like the
+    reference's metric module intends."""
+
+    def __init__(self, cfg: Config, model, data_paths: Dict[str, str],
+                 label_type: str = "mPAP", verbose: bool = True):
+        self.cfg = cfg
+        self.model = model
+        self.verbose = verbose
+        self.mesh = make_mesh(data=cfg.train.mesh_data,
+                              model=cfg.train.mesh_model)
+
+        infos = load_infos(data_paths["infos"])
+        index = PatientIndex.from_infos(infos, cfg.data.use_data)
+        from pathlib import Path
+        dl = Path(data_paths["data_list_dir"])
+        self.train_loader = RegressionClipLoader(
+            index, load_split(dl / "train_list.npy"), cfg.model.views, cfg,
+            is_train=True, label_type=label_type, seed=cfg.train.seed)
+        self.val_loader = RegressionClipLoader(
+            index, load_split(dl / "val_list.npy"), cfg.model.views, cfg,
+            is_train=False, label_type=label_type, seed=cfg.train.seed)
+
+        rng = jax.random.PRNGKey(cfg.train.seed)
+        c, t = cfg.data.crop_hw, cfg.data.reg_clip_frames
+        v = cfg.model.num_views
+        sample = self._model_input(jnp.zeros((v, 1, c, c, t)))
+        variables = self.model.init(rng, sample, False)
+        self.state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=optax.adam(cfg.opt.lr),
+        )
+        self.train_step = make_regression_train_step(self.model)
+        self.eval_step = make_regression_eval_step(self.model)
+        self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    def _model_input(self, clips: jnp.ndarray) -> jnp.ndarray:
+        """(V, B, H, W, T) device clips → the model's input convention.
+
+        Default: video regressors take (B, T, H, W, C=V-merged) — we fold
+        views into channels-last frames (B, T, H, W, V).
+        """
+        return jnp.transpose(clips, (1, 4, 2, 3, 0))
+
+    def train_epoch(self, epoch: int = 0) -> Dict[str, float]:
+        cfg = self.cfg
+        losses = []
+        for host_batch in self.train_loader.batches(cfg.train.batch_size,
+                                                    epoch):
+            self.rng, r_pre, r_step = jax.random.split(self.rng, 3)
+            clips = preprocess_regression_batch(
+                r_pre, jnp.asarray(host_batch["clips_raw"]),
+                crop_hw=cfg.data.crop_hw, is_train=True)
+            batch = {"clips": self._model_input(clips),
+                     "targets": jnp.asarray(host_batch["targets"])}
+            batch = shard_batch(batch, self.mesh, batch_axis=0)
+            self.state, m = self.train_step(self.state, batch, r_step)
+            losses.append(float(m["loss"]))
+        return {"loss": float(np.mean(losses)) if losses else 0.0,
+                "steps": len(losses)}
+
+    def evaluate(self) -> Dict[str, float]:
+        preds, targets = [], []
+        for host_batch in self.val_loader.batches(1):
+            clips = preprocess_regression_batch(
+                jax.random.PRNGKey(0), jnp.asarray(host_batch["clips_raw"]),
+                crop_hw=self.cfg.data.crop_hw, is_train=False)
+            batch = {"clips": self._model_input(clips)}
+            preds.append(np.asarray(self.eval_step(self.state, batch)))
+            targets.append(host_batch["targets"])
+        if not preds:
+            return {}
+        p = np.concatenate(preds)
+        t = np.concatenate(targets)
+        return {
+            "mse": float(mse(t, p)),
+            "mae": float(mae(t, p)),
+            "rmse": float(rmse(t, p)),
+            "r2": float(r2(t, p)),
+        }

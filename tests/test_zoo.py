@@ -1,0 +1,130 @@
+"""Shape contracts for the baseline model zoo (SURVEY.md §2.1 inventory).
+
+Mirrors the reference's __main__ smoke blocks (SURVEY.md §4) at miniature
+widths: UTNet, CEN/RefineNet, 3-D Res-UNet, 3-D ResNet regressors, R(2+1)D,
+TimeSformer, AVS family.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_utnet_full_and_encoderonly():
+    from glfusion_tpu.models import UTNet
+
+    x = jnp.zeros((2, 64, 64, 1))
+    for dec in (True, False):
+        m = UTNet(num_classes=5, base=4, reduce_size=4, decoder_attn=dec)
+        v = m.init(jax.random.PRNGKey(0), x, False)
+        assert m.apply(v, x, False).shape == (2, 64, 64, 5)
+
+
+def test_cen_exchange_semantics():
+    from glfusion_tpu.models.cen import _exchange
+
+    x = jnp.asarray(np.arange(2 * 1 * 1 * 1 * 4).reshape(2, 1, 1, 1, 4),
+                    jnp.float32)
+    scales = jnp.asarray([[1.0, 0.001, 1.0, 0.001],
+                          [0.001, 1.0, 0.001, 1.0]])
+    y = _exchange(x, scales, 2e-2)
+    # stream 0 keeps channels 0,2 (|γ|≥t) and takes stream 1's 1,3
+    assert float(y[0, 0, 0, 0, 0]) == float(x[0, 0, 0, 0, 0])
+    assert float(y[0, 0, 0, 0, 1]) == float(x[1, 0, 0, 0, 1])
+    # stream 1 keeps 1,3 and takes stream 0's 0,2
+    assert float(y[1, 0, 0, 0, 0]) == float(x[0, 0, 0, 0, 0])
+    assert float(y[1, 0, 0, 0, 1]) == float(x[1, 0, 0, 0, 1])
+
+
+def test_cen_refinenet_forward():
+    from glfusion_tpu.models import CENRefineNet
+
+    m = CENRefineNet(num_classes=5, block_sizes=(1, 1, 1, 1))
+    x = jnp.zeros((2, 1, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    logits, ens, alpha = m.apply(v, x, False)
+    assert logits.shape == (2, 1, 16, 16, 5)
+    assert ens.shape == (1, 16, 16, 5)
+    assert alpha.shape == (2,)
+    np.testing.assert_allclose(float(alpha.sum()), 1.0, atol=1e-6)
+
+
+def test_res3dunet_deep_supervision():
+    from glfusion_tpu.models import ResUNet3D
+
+    m = ResUNet3D(out_channels=2, widths=(4, 8, 12, 16, 20))
+    x = jnp.zeros((1, 8, 16, 16, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    outs = m.apply(v, x, False)
+    assert len(outs) == 4
+    for o in outs:
+        assert o.shape == (1, 8, 16, 16, 2)
+        # channel softmax sums to 1
+        np.testing.assert_allclose(np.asarray(o.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_resnet3d_pah_regression_head():
+    from glfusion_tpu.models import Resnet50PAH
+
+    m = Resnet50PAH(depth=10)
+    x = jnp.zeros((2, 8, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    assert m.apply(v, x, False).shape == (2, 1)
+
+
+def test_resnet50pfs_two_modality():
+    from glfusion_tpu.models import Resnet50PFS
+
+    m = Resnet50PFS(n_outputs=3, main_depth=10, proj_depth=10)
+    x = jnp.zeros((1, 2, 16, 16, 16))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    out, seg = m.apply(v, x, False)
+    assert out.shape == (1, 3)
+    assert seg.shape[0] == 2  # modalities folded into batch
+
+
+def test_r2plus1d_iekd_returns_feature():
+    from glfusion_tpu.models import r2plus1d_18_iekd
+
+    m = r2plus1d_18_iekd(num_classes=2)
+    x = jnp.zeros((1, 8, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    logits, feat = m.apply(v, x, False)
+    assert logits.shape == (1, 2)
+    assert feat.shape == (1, 512)
+
+
+def test_timesformer_multiview_scalar():
+    from glfusion_tpu.models import TimeSformer
+
+    m = TimeSformer(dim=32, num_classes=1, patch_size=8, depth=2, heads=2,
+                    dim_head=16)
+    x = jnp.zeros((2, 4, 4, 32, 32))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    assert m.apply(v, x, False).shape == (2, 1)
+
+
+_AVS_TINY = dict(widths=(2, 4, 6, 8), blocks=(1, 1, 1, 1), channel=8)
+
+
+def test_pred_endecoder_cross_view():
+    from glfusion_tpu.models import PredEndecoder
+
+    m = PredEndecoder(num_classes=5, **_AVS_TINY)
+    a = jnp.zeros((1, 64, 64, 1))
+    b = jnp.zeros((1, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), a, b, False)
+    out = m.apply(v, a, b, False)
+    assert out.shape[-1] == 5 and out.ndim == 4
+
+
+@pytest.mark.parametrize("cls_name", ["AVSTransfusion", "AVSBaseline"])
+def test_avs_multiview_decoders(cls_name):
+    import glfusion_tpu.models as zoo
+
+    m = getattr(zoo, cls_name)(num_classes=5, **_AVS_TINY)
+    x = jnp.zeros((3, 1, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(v, x, False)
+    assert out.shape[0] == 3 and out.shape[-1] == 5
