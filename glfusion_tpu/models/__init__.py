@@ -35,3 +35,8 @@ from glfusion_tpu.models.avs import (  # noqa: F401
     B2ResNet,
     PredEndecoder,
 )
+from glfusion_tpu.models.legacy_variants import (  # noqa: F401
+    LegacyMultiviewSeg,
+    SpatialConcatFusion,
+    SpatialMLP,
+)

@@ -85,6 +85,9 @@ class ResNetIEKD(nn.Module):
     dilate_stages: Sequence[bool] = (False, False, True, True)
     dtype: str = "float32"
     remat: bool = False
+    # return all 4 stage feature maps instead of only layer4 (used by the
+    # multi-stage-fusion legacy variants, reference models/ours.py model20)
+    return_taps: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -103,6 +106,7 @@ class ResNetIEKD(nn.Module):
             block_cls = nn.remat(Bottleneck, static_argnums=(2,))
 
         dilation = 1
+        taps = []
         for stage, (blocks, planes, dilate) in enumerate(
                 zip(self.block_sizes, self.widths, self.dilate_stages)):
             stride = 1 if stage == 0 else 2
@@ -119,4 +123,5 @@ class ResNetIEKD(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x, train)
-        return x
+            taps.append(x)
+        return tuple(taps) if self.return_taps else x

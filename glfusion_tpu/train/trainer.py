@@ -103,6 +103,8 @@ class Trainer:
         log_dir = Path(cfg.train.log_dir)
         log_dir.mkdir(parents=True, exist_ok=True)
         self._metrics_file = open(log_dir / "metrics.jsonl", "a")
+        from glfusion_tpu.utils.summary import SummaryWriter
+        self.summary = SummaryWriter(str(log_dir))
 
     # ------------------------------------------------------------------ api
 
@@ -261,3 +263,8 @@ class Trainer:
     def _write_log(self, record: dict):
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
+        # mirror numeric fields to TensorBoard (reference add_summary,
+        # main.py:874-883)
+        for k, v in record.items():
+            if isinstance(v, (int, float)) and k != "epoch":
+                self.summary.add_scalar(k, v, self.epoch)

@@ -1,0 +1,77 @@
+"""Tracing / timing / numerical-debug harness (SURVEY.md §5).
+
+The reference's only instrumentation is ``cudnn.benchmark=True`` and
+``torch.autograd.set_detect_anomaly(True)`` (reference ``main.py:37,41``).
+The TPU-native equivalents:
+
+  * ``trace(logdir)`` — ``jax.profiler`` context; view with TensorBoard or
+    xprof. Captures XLA op breakdown + HBM traffic.
+  * ``time_fn(fn, *args)`` — honest wall-clock for a jitted fn: runs
+    ``iters`` calls INSIDE one jitted ``lax.scan`` with a scalar data
+    dependency and fetches one scalar. Robust against lazy dispatch through
+    remote device transports, where naive ``block_until_ready`` loops were
+    measured to under-report by >10×.
+  * ``debug_nans(enable)`` — flips ``jax_debug_nans`` (the anomaly-detect
+    analogue: re-runs the offending primitive un-jitted and raises).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Profile a block: ``with trace('/tmp/prof'): run_step()``."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def debug_nans(enable: bool = True) -> None:
+    jax.config.update("jax_debug_nans", enable)
+
+
+def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
+            warmup: bool = True) -> float:
+    """Seconds per call of ``fn(*args)`` measured on-device.
+
+    fn must return a pytree of arrays; a scalar mean of its first leaf
+    chains iterations so the device cannot overlap or elide them.
+    """
+
+    @jax.jit
+    def chained(*a):
+        def body(carry, _):
+            out = fn(*a)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return (jnp.mean(leaf).astype(jnp.float32) * 1e-30 + carry * 0.0,
+                    None)
+
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    if warmup:
+        float(chained(*args))
+    t0 = time.perf_counter()
+    float(chained(*args))
+    return (time.perf_counter() - t0) / iters
+
+
+def flops_of(fn: Callable[..., Any], *args) -> float | None:
+    """XLA cost-analysis FLOP count of one ``fn(*args)`` call (or None)."""
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops")) if ca else None
+    except Exception:
+        return None

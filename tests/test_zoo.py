@@ -128,3 +128,55 @@ def test_avs_multiview_decoders(cls_name):
     v = m.init(jax.random.PRNGKey(0), x, False)
     out = m.apply(v, x, False)
     assert out.shape[0] == 3 and out.shape[-1] == 5
+
+
+@pytest.mark.parametrize("kw", [
+    dict(fusion="none"),
+    dict(fusion="channel_transformer"),
+    dict(fusion="mlp_concat"),
+    dict(fusion="tpavi", shared_classifier=True),
+    dict(fusion="tpavi", fusion_stages=(1, 2, 3, 4)),
+    dict(fusion="decouple_tpavi", shared_backbone=True,
+         shared_classifier=True),
+])
+def test_legacy_variant_family(kw):
+    """model3..model21 coverage (reference models/ours.py; see the mapping
+    table in glfusion_tpu/models/legacy_variants.py)."""
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.legacy_variants import LegacyMultiviewSeg
+
+    cfg = tiny_config().model
+    m = LegacyMultiviewSeg(cfg, **kw)
+    x = jnp.zeros((3, 2, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(v, x, False)
+    assert out["mask"].shape == (3, 2, 32, 32, 5)
+
+
+def test_legacy_shared_backbone_has_single_param_set():
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.legacy_variants import LegacyMultiviewSeg
+
+    cfg = tiny_config().model
+    m = LegacyMultiviewSeg(cfg, fusion="decouple_tpavi", shared_backbone=True,
+                           shared_classifier=True)
+    x = jnp.zeros((3, 1, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    stem = v["params"]["backbone"]["stem_conv"]["kernel"]
+    assert stem.ndim == 4  # no stacked view axis — weights shared
+    # decouple projections ARE per-view
+    cc = v["params"]["consistent_conv"]["conv"]["kernel"]
+    assert cc.shape[0] == 3
+
+
+def test_spatial_fusion_blocks():
+    from glfusion_tpu.models.legacy_variants import (SpatialConcatFusion,
+                                                     SpatialMLP)
+
+    f = jnp.zeros((3, 2, 4, 4, 8))
+    scf = SpatialConcatFusion()
+    v = scf.init(jax.random.PRNGKey(0), f)
+    assert scf.apply(v, f).shape == (2, 4, 4, 8)
+    mm = SpatialMLP()
+    v2 = mm.init(jax.random.PRNGKey(0), f[0])
+    assert mm.apply(v2, f[0]).shape == (2, 4, 4, 8)
