@@ -28,9 +28,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# CPU frames/sec measured with this harness on the build machine
-# (see BASELINE.md "CPU baseline" row).
-CPU_BASELINE_FPS = 2.0
+# CPU frames/sec measured on the build machine (single-core CPU, f32,
+# batch 1×3 views: 4.96 s/step → 0.60 frames/s; BASELINE.md "CPU baseline").
+CPU_BASELINE_FPS = 0.60
 
 BATCH_FRAMES = 8   # frames per view per step (reference batch, main.py:914)
 ITERS = 10

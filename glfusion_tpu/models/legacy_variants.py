@@ -102,14 +102,17 @@ class LegacyMultiviewSeg(nn.Module):
                      widths=tuple(cfg.widths), expansion=cfg.expansion,
                      dilate_stages=tuple(cfg.dilate_stages),
                      dtype=cfg.dtype, return_taps=multi_stage)
+        stage_keys = ("layer1", "layer2", "layer3", "layer4")
         if self.shared_backbone:
             bb = ResNetIEKD(**bb_kw, name="backbone")
             outs = [bb(x[i], train) for i in range(v)]
             feats = (tuple(jnp.stack([o[s] for o in outs])
-                           for s in range(4))
+                           for s in stage_keys)
                      if multi_stage else jnp.stack(outs))
         else:
             feats = _per_view(ResNetIEKD)(**bb_kw, name="backbone")(x, train)
+            if multi_stage:
+                feats = tuple(feats[s] for s in stage_keys)
 
         def fuse_tpavi(f, name):
             attn = TPAVI(name=name)

@@ -85,8 +85,9 @@ class ResNetIEKD(nn.Module):
     dilate_stages: Sequence[bool] = (False, False, True, True)
     dtype: str = "float32"
     remat: bool = False
-    # return all 4 stage feature maps instead of only layer4 (used by the
-    # multi-stage-fusion legacy variants, reference models/ours.py model20)
+    # return a dict of tap activations ({"stem", "layer1".."layer4"}) instead
+    # of only layer4 (multi-stage fusion, reference models/ours.py model20;
+    # IEKD layer taps, reference models/_utils.py:222-231)
     return_taps: bool = False
 
     @nn.compact
@@ -99,6 +100,7 @@ class ResNetIEKD(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
                          name="stem_bn", **_BN)(x)
         x = nn.relu(x)
+        stem_act = x  # pre-maxpool ('x_layerbs', reference _utils.py:222)
         x = max_pool_3x3_s2(x)
 
         block_cls = Bottleneck
@@ -106,7 +108,7 @@ class ResNetIEKD(nn.Module):
             block_cls = nn.remat(Bottleneck, static_argnums=(2,))
 
         dilation = 1
-        taps = []
+        taps = {"stem": stem_act}
         for stage, (blocks, planes, dilate) in enumerate(
                 zip(self.block_sizes, self.widths, self.dilate_stages)):
             stride = 1 if stage == 0 else 2
@@ -123,5 +125,5 @@ class ResNetIEKD(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(x, train)
-            taps.append(x)
-        return tuple(taps) if self.return_taps else x
+            taps[f"layer{stage + 1}"] = x
+        return taps if self.return_taps else x

@@ -103,3 +103,35 @@ def test_view_label_table_shape():
     t = view_label_table()
     assert t.shape == (4, 5)
     assert t[0, 1] == 3 and t[3, 3] == 0
+
+
+def test_aspp_dead_tap_elimination_is_exact():
+    """rate >= H,W → center-slice 1×1 conv must equal the full dilated conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glfusion_tpu.models.aspp import DilatedConv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6))
+    m_fast = DilatedConv3x3(features=5, rate=9)   # 9 > 8 → fast path
+    v = m_fast.init(jax.random.PRNGKey(1), x)
+    y_fast = m_fast.apply(v, x)
+
+    # reference: full dilated conv with the same kernel
+    k = v["params"]["kernel"]
+    y_full = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((9, 9), (9, 9)), rhs_dilation=(9, 9),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert y_fast.shape == y_full.shape == (2, 8, 8, 5)
+    np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_full),
+                               atol=1e-5, rtol=1e-5)
+    # and a rate that DOES reach in-bounds must NOT take the fast path
+    m_slow = DilatedConv3x3(features=5, rate=4)
+    v2 = m_slow.init(jax.random.PRNGKey(1), x)
+    y_slow = m_slow.apply(v2, x)
+    k2 = v2["params"]["kernel"]
+    y_slow_ref = jax.lax.conv_general_dilated(
+        x, k2, (1, 1), ((4, 4), (4, 4)), rhs_dilation=(4, 4),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y_slow), np.asarray(y_slow_ref),
+                               atol=1e-5, rtol=1e-5)
