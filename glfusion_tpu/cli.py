@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="miniature topology for smoke runs")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="model-parallel mesh axis size")
+    p.add_argument("--sweep", action="store_true",
+                   help="val mode: evaluate EVERY saved checkpoint and report"
+                        " the best val epoch (reference main.py:316-323)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (overrides autodetection; "
                         "useful when a site-level jax import has already "
@@ -118,7 +121,10 @@ def main(argv=None) -> int:
     if args.mode == "train":
         trainer.train()
     elif args.mode == "val":
-        trainer.validation_and_test()
+        if args.sweep:
+            trainer.sweep_checkpoints()
+        else:
+            trainer.validation_and_test()
     elif args.mode == "visual":
         n = trainer.test_visualize(method_name=args.method_name)
         print(f"wrote {n} prediction frames")

@@ -29,8 +29,19 @@ _BN = dict(epsilon=1e-5, momentum=0.9)
 
 
 class TPAVI(nn.Module):
+    """mode='dot' is GL-Fusion's production path; 'gaussian'/'embedded'/
+    'concatenate' complete the reference module's API
+    (``models/TPAVI.py:6-156``):
+
+      gaussian    : f = softmax(x xᵀ)            (raw features, no θ/φ)
+      embedded    : f = softmax(θ(x) φ(kv)ᵀ)
+      dot         : f = θ(x) φ(kv)ᵀ / N          (no softmax)
+      concatenate : f[i,j] = ReLU(W_f [θᵢ‖φⱼ]) / N
+    """
+
     inter_channels: int | None = None
     attn_impl: str = "auto"  # 'auto' | 'naive' | 'reassoc' | 'pallas'
+    mode: str = "dot"
     dtype: str = "float32"
 
     @nn.compact
@@ -52,15 +63,36 @@ class TPAVI(nn.Module):
 
         tokens = x.reshape(b, n, c)
         kv_tokens = tokens if kv is None else kv.reshape(b, n, c)
-        theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
-        phi = nn.Dense(inter, dtype=dtype, name="phi")(kv_tokens)
         g = nn.Dense(inter, dtype=dtype, name="g")(tokens)
 
-        if self.attn_impl == "pallas":
-            from glfusion_tpu.ops.tpavi_pallas import fused_dot_nonlocal
-            y = fused_dot_nonlocal(theta, phi, g)
+        if self.mode == "gaussian":
+            f = jnp.einsum("bic,bjc->bij", tokens, kv_tokens)
+            y = jnp.einsum("bij,bjd->bid", nn.softmax(f, -1), g)
         else:
-            y = dot_nonlocal_attention(theta, phi, g, impl=self.attn_impl)
+            theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
+            phi = nn.Dense(inter, dtype=dtype, name="phi")(kv_tokens)
+            if self.mode == "dot":
+                if self.attn_impl == "pallas":
+                    from glfusion_tpu.ops.tpavi_pallas import (
+                        fused_dot_nonlocal)
+                    y = fused_dot_nonlocal(theta, phi, g)
+                else:
+                    y = dot_nonlocal_attention(theta, phi, g,
+                                               impl=self.attn_impl)
+            elif self.mode == "embedded":
+                f = jnp.einsum("bic,bjc->bij", theta, phi)
+                y = jnp.einsum("bij,bjd->bid", nn.softmax(f, -1), g)
+            elif self.mode == "concatenate":
+                # pairwise concat → 1-ch conv → ReLU (reference :121-132)
+                wf = nn.Dense(1, name="w_f")
+                ti = jnp.broadcast_to(theta[:, :, None, :],
+                                      (b, n, n, inter))
+                pj = jnp.broadcast_to(phi[:, None, :, :], (b, n, n, inter))
+                f = nn.relu(
+                    wf(jnp.concatenate([ti, pj], -1))[..., 0])
+                y = jnp.einsum("bij,bjd->bid", f / n, g)
+            else:
+                raise ValueError(f"unknown mode {self.mode!r}")
 
         wy = nn.Dense(c, dtype=dtype, name="w_z_conv")(y)
         wy = nn.BatchNorm(use_running_average=not train, dtype=dtype,

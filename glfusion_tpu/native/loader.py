@@ -54,6 +54,12 @@ def native_available() -> bool:
     return _load() is not None
 
 
+# NIfTI datatype code → numpy dtype (must match the C++ decode table)
+_NIFTI_DTYPES = {2: np.uint8, 4: np.int16, 8: np.int32, 16: np.float32,
+                 64: np.float64, 256: np.int8, 512: np.uint16,
+                 768: np.uint32}
+
+
 def _query(lib, path: str):
     dims = (ctypes.c_int64 * 8)()
     dtype = ctypes.c_int()
@@ -64,22 +70,28 @@ def _query(lib, path: str):
         raise IOError(f"native nifti query failed ({rc}): {path}")
     ndim = int(dims[0])
     shape = tuple(int(dims[1 + i]) for i in range(ndim))
-    return shape, int(numel.value)
+    return shape, int(numel.value), int(dtype.value)
 
 
 def read_nifti_native(path: str | Path) -> np.ndarray:
-    """Single-volume read; float32 output in the volume's natural shape."""
+    """Single-volume read; preserves the on-disk dtype like the Python
+    reader (the C++ core decodes to f32; integers round-trip exactly).
+    float64 volumes would lose precision → handled by the Python reader."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    shape, numel = _query(lib, path)
+    shape, numel, dtype_code = _query(lib, path)
+    np_dtype = _NIFTI_DTYPES.get(dtype_code)
+    if np_dtype is None or np_dtype == np.float64:
+        raise IOError(f"dtype {dtype_code} routed to python reader")
     out = np.empty(numel, np.float32)
     rc = lib.gl_nifti_read_f32(
         str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         numel)
     if rc != 0:
         raise IOError(f"native nifti read failed ({rc}): {path}")
-    return out.reshape(shape, order="F")
+    arr = out.reshape(shape, order="F")
+    return arr if np_dtype == np.float32 else arr.astype(np_dtype)
 
 
 def read_nifti_batch_native(paths: Sequence[str | Path],
@@ -91,7 +103,7 @@ def read_nifti_batch_native(paths: Sequence[str | Path],
     shapes, numels, offsets = [], [], []
     total = 0
     for p in paths:
-        shape, numel = _query(lib, p)
+        shape, numel, _ = _query(lib, p)
         shapes.append(shape)
         numels.append(numel)
         offsets.append(total)

@@ -227,6 +227,40 @@ class Trainer:
             for view in report["views"]}})
         return report
 
+    def sweep_checkpoints(self, min_epoch: int = 50) -> dict:
+        """Evaluate every saved checkpoint; report the best val epoch.
+
+        Reference ``validation_and_test(net_root=...)`` (main.py:316-323)
+        sweeps net_00000..net_00099.pth and picks the best Inner-val Dice at
+        epoch ≥ 50 (main.py:414-416). Here: every Orbax step in save_dir.
+        """
+        steps = self.ckpt.all_steps()
+        if not steps:
+            self._log("no checkpoints to sweep")
+            return {}
+        best = {"epoch": None, "val_dice": -1.0, "test": None}
+        original = self.state
+        for step in steps:
+            restored = self.ckpt.restore_step(self.state, step)
+            if restored is None:
+                continue
+            self.state = restored
+            self.epoch = step
+            res = self.validation_and_test()
+            val = res.get("Inner-val", {}).get("views", {})
+            val_dice = (float(np.mean([v["dice"] for v in val.values()]))
+                        if val else 0.0)
+            self._log(f"sweep epoch {step}: val dice {val_dice:.4f}")
+            if step >= min_epoch or len(steps) <= min_epoch:
+                if val_dice > best["val_dice"]:
+                    best = {"epoch": step, "val_dice": val_dice,
+                            "test": res.get("Inner-test")}
+        self.state = original
+        if best["epoch"] is not None:
+            self._log(f"best val epoch {best['epoch']} "
+                      f"(dice {best['val_dice']:.4f})")
+        return best
+
     def test_visualize(self, method_name: str = "glfusion_tpu",
                        out_dir: str = "./visualze_for_ppt") -> int:
         """Write per-frame colorized prediction PNGs (main.py:546-648).

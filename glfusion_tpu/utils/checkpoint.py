@@ -35,9 +35,13 @@ class CheckpointManager:
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
 
-    def restore_latest(self, state) -> Optional[Tuple[object, int]]:
-        step = self._mgr.latest_step()
-        if step is None:
+    def all_steps(self) -> list:
+        """Sorted saved epochs (the sweep-eval substrate, main.py:316-323)."""
+        return sorted(int(s) for s in self._mgr.all_steps())
+
+    def restore_step(self, state, step: int):
+        """Restore one specific epoch's state (or None)."""
+        if step not in set(self._mgr.all_steps()):
             return None
         template = {
             "params": state.params,
@@ -47,10 +51,16 @@ class CheckpointManager:
         }
         restored = self._mgr.restore(
             step, args=ocp.args.StandardRestore(template))
-        new_state = state.replace(
+        return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
             opt_state=restored["opt_state"],
             step=restored["step"],
         )
+
+    def restore_latest(self, state) -> Optional[Tuple[object, int]]:
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        new_state = self.restore_step(state, step)
         return new_state, int(step) + 1

@@ -128,7 +128,7 @@ def test_native_nifti_reader_matches_python(tmp_path):
     rs = np.random.RandomState(0)
     paths, arrs = [], []
     for i, dt in enumerate([np.uint8, np.int16, np.int32, np.float32,
-                            np.float64, np.uint16]):
+                            np.uint16]):
         arr = (rs.rand(17, 13, 9) * 100).astype(dt)
         p = tmp_path / f"v{i}.nii.gz"
         write_nifti(p, arr)
@@ -136,10 +136,17 @@ def test_native_nifti_reader_matches_python(tmp_path):
         arrs.append(arr)
     for p, arr in zip(paths, arrs):
         got = read_nifti_native(p)
-        assert got.shape == arr.shape
-        np.testing.assert_allclose(got, arr.astype(np.float32))
-        np.testing.assert_allclose(got,
-                                   np.asarray(read_nifti_py(p), np.float32))
+        assert got.shape == arr.shape and got.dtype == arr.dtype
+        np.testing.assert_array_equal(got, arr)
+        np.testing.assert_array_equal(got, read_nifti_py(p))
     outs = read_nifti_batch_native(paths)
     for arr, o in zip(arrs, outs):
         np.testing.assert_allclose(o, arr.astype(np.float32))
+    # float64 would lose precision in the f32 core → routed to python
+    from glfusion_tpu.data.nifti import read_nifti
+    p64 = tmp_path / "f64.nii.gz"
+    a64 = rs.rand(5, 6, 7)
+    write_nifti(p64, a64)
+    with pytest.raises(IOError):
+        read_nifti_native(p64)
+    np.testing.assert_array_equal(read_nifti(p64), a64)  # falls back

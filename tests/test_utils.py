@@ -1,6 +1,7 @@
 """Scalar metrics, visualization LUT, cluster helpers, CLI config."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 
@@ -107,3 +108,39 @@ def test_cli_variant_and_views_flags():
     assert cfg.model.variant == "global_only"
     assert cfg.model.views == ("1", "4")
     assert not cfg.train.use_cycle
+
+
+def test_helpers_prepare_and_panel():
+    from glfusion_tpu.utils.helpers import make_validation_img, prepare_img
+
+    img = np.full((8, 8, 3), 128, np.uint8)
+    out = prepare_img(img)
+    assert out.shape == (8, 8, 3)
+    assert abs(float(out[0, 0, 0]) - (128 / 255 - 0.485) / 0.229) < 1e-6
+
+    panel = make_validation_img(np.random.rand(8, 8), 
+                                np.zeros((8, 8), np.int64),
+                                np.ones((8, 8), np.int64))
+    assert panel.shape == (8, 24, 3) and panel.dtype == np.uint8
+
+
+def test_maybe_download_refuses_network(tmp_path):
+    from glfusion_tpu.utils.helpers import maybe_download
+
+    with pytest.raises(FileNotFoundError):
+        maybe_download("resnet50", "http://example.com/x.pth",
+                       model_dir=str(tmp_path))
+
+
+def test_tpavi_modes_forward():
+    import jax
+    import jax.numpy as jnp
+
+    from glfusion_tpu.models import TPAVI
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 4, 4, 8))
+    for mode in ("dot", "gaussian", "embedded", "concatenate"):
+        m = TPAVI(inter_channels=4, mode=mode)
+        v = m.init(jax.random.PRNGKey(1), x, False)
+        y = m.apply(v, x, False)
+        assert y.shape == x.shape, mode
