@@ -56,6 +56,11 @@ def select_labeled_frame(image: np.ndarray, mask: np.ndarray,
 class SegFrameLoader:
     """Single-frame multi-view segmentation batches (``Seg_PAHDataset``).
 
+    Also covers ``Couple_Seg_PAHDataset`` (reference loader.py:513-744):
+    that class's distinguishing behavior — ALL requested views of one
+    patient in a single item — is this loader's native layout (the (V, B)
+    leading axes).
+
     Yields host batches: images (V, B, 144, 144) float32 raw intensity,
     masks (V, B, 144, 144) int32 raw labels — device preprocessing does the
     rest. Missing views produce zero frames (reference pads with zeros,

@@ -246,8 +246,13 @@ class PredEndecoder(nn.Module):
 
 
 class AVSTransfusion(nn.Module):
-    """Per-view shared encoder + per-stage channel-transformer fusion +
-    per-view decode (reference AVS_Transfusion :416-603).
+    """Per-view encoder + per-stage cross-view fusion + per-view decode.
+
+    fusion='transformer', per_view_params=False → AVS_Transfusion
+    (reference :416-603: ONE shared B2-ResNet applied per view, per-stage
+    channel-transformer fusion).
+    fusion='tpavi', per_view_params=True → model17 (reference :603-790:
+    per-view B2-ResNets + per-stage multi-view TPAVI dot attention).
 
     Input (V, B, H, W, 1) → (V, B, ~H, ~W, 5).
     """
@@ -257,25 +262,39 @@ class AVSTransfusion(nn.Module):
     num_classes: int = 5
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks: Sequence[int] = (3, 4, 6, 3)
+    fusion: str = "transformer"  # 'transformer' | 'tpavi'
+    per_view_params: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         v = x.shape[0]
         x = jnp.repeat(x, 3, axis=-1)
-        bb = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet")
+        if self.per_view_params:
+            bbs = [B2ResNet(tuple(self.widths), tuple(self.blocks),
+                            name=f"resnet_{vi}") for vi in range(v)]
+        else:
+            shared = B2ResNet(tuple(self.widths), tuple(self.blocks),
+                              name="resnet")
+            bbs = [shared] * v
         heads = [ClassifierModule(self.channel, name=f"conv{i + 1}")
                  for i in range(4)]
 
         fm = [[] for _ in range(4)]
         for vi in range(v):
-            x1, x2, x3, x4, _, _ = bb(x[vi], train)
+            x1, x2, x3, x4, _, _ = bbs[vi](x[vi], train)
             taps = [x1, x2, x3, x4]
             for i in range(4):
                 fm[i].append(heads[i](taps[i]))
         fm = [jnp.stack(f) for f in fm]  # each (V, B, h, w, C)
 
         for i in self.fuse_stages:
-            fm[i] = ViewChannelTransformer(name=f"attn{i + 1}")(fm[i], train)
+            if self.fusion == "tpavi":
+                attn = TPAVI(name=f"tpavi_b{i + 1}")
+                fm[i] = jnp.swapaxes(
+                    attn(jnp.swapaxes(fm[i], 0, 1), train), 0, 1)
+            else:
+                fm[i] = ViewChannelTransformer(
+                    name=f"attn{i + 1}")(fm[i], train)
 
         t4 = fm[2].shape[2:4]
         t3 = fm[1].shape[2:4]

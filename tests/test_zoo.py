@@ -180,3 +180,18 @@ def test_spatial_fusion_blocks():
     mm = SpatialMLP()
     v2 = mm.init(jax.random.PRNGKey(0), f[0])
     assert mm.apply(v2, f[0]).shape == (2, 4, 4, 8)
+
+
+def test_model17_per_view_tpavi_fusion():
+    """model17 (reference ResNet_AVSModel.py:603-790): per-view B2-ResNets +
+    per-stage TPAVI fusion."""
+    from glfusion_tpu.models import AVSTransfusion
+
+    m = AVSTransfusion(num_classes=5, fusion="tpavi", per_view_params=True,
+                       **_AVS_TINY)
+    x = jnp.zeros((2, 1, 64, 64, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    out = m.apply(v, x, False)
+    assert out.shape[0] == 2 and out.shape[-1] == 5
+    # per-view backbones → separate param sets
+    assert "resnet_0" in v["params"] and "resnet_1" in v["params"]
