@@ -47,7 +47,9 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     x = jnp.asarray(
         np.random.RandomState(0).rand(mcfg.num_views, batch, 112, 112, 1),
         jnp.float32)
-    variables = model.init(rng, x, False)
+    # jit the init: eager flax init dispatches op-by-op, which is
+    # pathologically slow over remote TPU transports (~8x here)
+    variables = jax.jit(lambda r: model.init(r, x, False))(rng)
 
     @jax.jit
     def chained(variables, x):

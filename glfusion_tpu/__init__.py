@@ -19,6 +19,32 @@ Design (TPU-first, not a port):
 
 __version__ = "0.1.0"
 
+
+def _enable_compilation_cache() -> None:
+    """Persistent XLA compilation cache (off with GLFUSION_NO_JIT_CACHE=1).
+
+    Full-size train-step compiles take minutes on remote TPU transports;
+    the on-disk cache makes every process after the first start instantly.
+    """
+    import os
+
+    if os.environ.get("GLFUSION_NO_JIT_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "GLFUSION_JIT_CACHE_DIR",
+            os.path.expanduser("~/.cache/glfusion_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()
+
 from glfusion_tpu.config import (  # noqa: F401
     Config,
     DataConfig,

@@ -16,17 +16,29 @@ from flax import linen as nn
 _BN = dict(epsilon=1e-5, momentum=0.9)
 
 
-class DilatedConv3x3(nn.Module):
-    """Bias-free 3×3 dilated conv with dead-tap elimination.
+def _tap_bounds(r: int, d: int, size: int):
+    """Output-index range [lo, hi) whose source index i + d·r is in bounds."""
+    lo = max(0, -d * r)
+    hi = min(size, size - d * r)
+    return lo, hi
 
-    On the reference's 28×28 f4 maps, the rate-36 ASPP branch's off-center
-    taps read ONLY zero padding (|offset| = 36 > 27 for every output
-    position), so the branch is EXACTLY the center 1×1 slice of its kernel.
-    When the static spatial size makes the outer taps dead (rate ≥ H and
-    ≥ W), we contract only the center slice — bit-identical output, 9×
-    fewer FLOPs on that branch (~21% of the whole model at reference
-    shapes). The parameter keeps the full (3,3,Cin,Cout) shape so torch
-    checkpoint conversion is unchanged.
+
+class DilatedConv3x3(nn.Module):
+    """Bias-free 3×3 dilated conv with clipped-tap decomposition.
+
+    ASPP applies rates (12, 24, 36) to the reference's 28×28 f4 maps, where
+    most kernel taps read far outside the map and contribute only zero
+    padding. The conv is EXACTLY the sum over its 9 taps of a shifted 1×1
+    contraction restricted to the in-bounds output region:
+
+        y[i, j] += x[i + dy·r, j + dx·r] @ W[dy, dx]   where in bounds.
+
+    At 28², rate 36 keeps only the center tap (9× fewer FLOPs), rate 24
+    keeps 4-wide border strips (≈5×), rate 12 16-wide strips (≈2×) — in
+    total roughly half the whole model's FLOPs at reference shapes, exactly
+    (summation regrouped; partials accumulate in f32). The full conv path
+    is kept for rates where clipping saves nothing. The parameter stays
+    (3, 3, Cin, Cout) so torch checkpoint conversion is unchanged.
     """
 
     features: int
@@ -42,15 +54,37 @@ class DilatedConv3x3(nn.Module):
         kernel = kernel.astype(dtype)
         h, w = x.shape[-3], x.shape[-2]
         r = self.rate
-        if r >= h and r >= w:
-            # only the center tap can land in-bounds → exact 1×1 conv
+
+        # static cost of the decomposition vs the full conv (active output
+        # positions × taps)
+        active = 0
+        for dy in (-1, 0, 1):
+            ylo, yhi = _tap_bounds(r, dy, h)
+            for dx in (-1, 0, 1):
+                xlo, xhi = _tap_bounds(r, dx, w)
+                active += max(0, yhi - ylo) * max(0, xhi - xlo)
+        if active * 2 >= 9 * h * w:
             return jax.lax.conv_general_dilated(
-                x.astype(dtype), kernel[1:2, 1:2], (1, 1), "VALID",
+                x.astype(dtype), kernel, (1, 1), ((r, r), (r, r)),
+                rhs_dilation=(r, r),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return jax.lax.conv_general_dilated(
-            x.astype(dtype), kernel, (1, 1), ((r, r), (r, r)),
-            rhs_dilation=(r, r),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        xv = x.astype(dtype)
+        out = jnp.zeros(x.shape[:-1] + (self.features,), jnp.float32)
+        for ti, dy in enumerate((-1, 0, 1)):
+            ylo, yhi = _tap_bounds(r, dy, h)
+            if yhi <= ylo:
+                continue
+            for tj, dx in enumerate((-1, 0, 1)):
+                xlo, xhi = _tap_bounds(r, dx, w)
+                if xhi <= xlo:
+                    continue
+                src = xv[..., ylo + dy * r:yhi + dy * r,
+                         xlo + dx * r:xhi + dx * r, :]
+                part = jnp.einsum("...c,co->...o", src, kernel[ti, tj],
+                                  preferred_element_type=jnp.float32)
+                out = out.at[..., ylo:yhi, xlo:xhi, :].add(part)
+        return out.astype(dtype)
 
 
 class ASPP(nn.Module):

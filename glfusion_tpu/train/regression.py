@@ -90,7 +90,8 @@ class RegressionTrainer:
         c, t = cfg.data.crop_hw, cfg.data.reg_clip_frames
         v = cfg.model.num_views
         sample = self._model_input(jnp.zeros((v, 1, c, c, t)))
-        variables = self.model.init(rng, sample, False)
+        variables = jax.jit(
+            lambda r: self.model.init(r, sample, False))(rng)
         self.state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],

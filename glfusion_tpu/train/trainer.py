@@ -83,7 +83,8 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed)
         hw = cfg.data.crop_hw
         sample = jnp.zeros((cfg.model.num_views, 1, hw, hw, 1), jnp.float32)
-        variables = self.model.init(rng, sample, False)
+        variables = jax.jit(
+            lambda r: self.model.init(r, sample, False))(rng)
         variables = shard_variables(variables, self.mesh)
 
         self.steps_per_epoch = max(

@@ -135,3 +135,23 @@ def test_aspp_dead_tap_elimination_is_exact():
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y_slow), np.asarray(y_slow_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("rate,hw", [(9, 8), (6, 8), (3, 8), (5, 12), (2, 6)])
+def test_dilated_decomposition_exact_all_rates(rate, hw):
+    """9-tap decomposition must equal the full dilated conv at any rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glfusion_tpu.models.aspp import DilatedConv3x3
+
+    x = jax.random.normal(jax.random.PRNGKey(rate), (2, hw, hw, 6))
+    m = DilatedConv3x3(features=5, rate=rate)
+    v = m.init(jax.random.PRNGKey(1), x)
+    y = m.apply(v, x)
+    k = v["params"]["kernel"]
+    y_ref = jax.lax.conv_general_dilated(
+        x, k, (1, 1), ((rate, rate), (rate, rate)), rhs_dilation=(rate, rate),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
