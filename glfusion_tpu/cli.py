@@ -19,7 +19,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="glfusion_tpu",
         description="GL-Fusion multi-view echocardiogram segmentation (TPU)")
-    p.add_argument("--mode", choices=["train", "val", "visual"],
+    p.add_argument("--mode",
+               choices=["train", "val", "visual", "infer"],
                    default="train", help="reference main.py:896-898")
     p.add_argument("--data-root", default=None,
                    help="dataset root containing infos/, data_list/, .nii.gz;"
@@ -44,6 +45,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="restore latest checkpoint before training"
                         " (reference is_load, main.py:74)")
+    p.add_argument("--out-dir", default="./predictions",
+                   help="infer-mode output directory for predicted masks")
     p.add_argument("--method-name", default="glfusion_tpu",
                    help="visual-mode output subdirectory (main.py:546)")
     p.add_argument("--tiny", action="store_true",
@@ -115,11 +118,14 @@ def main(argv=None) -> int:
         }
 
     trainer = Trainer(cfg, data_paths=data_paths)
-    if args.resume or args.mode in ("val", "visual"):
+    if args.resume or args.mode in ("val", "visual", "infer"):
         trainer.load_latest()
 
     if args.mode == "train":
         trainer.train()
+    elif args.mode == "infer":
+        n = trainer.infer(out_dir=args.out_dir)
+        print(f"wrote {n} prediction volumes")
     elif args.mode == "val":
         if args.sweep:
             trainer.sweep_checkpoints()

@@ -21,12 +21,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TM = 256  # query-token tile
-_TK = 256  # key-token tile
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+def _pick_tile(n: int, c_pad: int, itemsize: int) -> int:
+    """Token tile (used for both the query and key axes): the largest
+    exact divisor of the sublane-aligned N whose working set fits VMEM.
+
+    Exact-divisor tiles avoid padding and shrink the grid (measured 2×
+    faster than the generic 256 at the reference shape). The VMEM budget
+    accounts for double-buffered inputs (3 blocks ×2), the output block
+    (×2) and the f32 accumulator; exceeding it crashes the TPU compiler
+    with a scoped-vmem OOM.
+    """
+    sublane = 16 if itemsize <= 2 else 8
+    n_al = _round_up(n, sublane)
+    budget = 14 * 1024 * 1024
+    per_row = c_pad * (8 * itemsize + 4)
+    cap = max(budget // per_row, 128)
+    for d in range(2, 32):
+        t = n_al // d
+        if n_al % d == 0 and t <= cap and t % sublane == 0:
+            return t
+    return 256
 
 
 def _kernel(theta_ref, phi_ref, g_ref, out_ref, acc_ref, *, n_true: int,
@@ -56,31 +74,32 @@ def fused_dot_nonlocal(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
                        interpret: bool = False) -> jnp.ndarray:
     """y[b] = (theta[b] @ phi[b]^T / N) @ g[b] for (B, N, C') operands."""
     b, n, c = theta.shape
-    n_pad = _round_up(n, max(_TM, _TK))
     c_pad = _round_up(c, 128)
+    tile = _pick_tile(n, c_pad, theta.dtype.itemsize)
+    n_pad = _round_up(n, tile)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, c_pad - c)))
 
     theta_p, phi_p, g_p = pad(theta), pad(phi), pad(g)
-    n_k_steps = n_pad // _TK
+    n_k_steps = n_pad // tile
 
-    grid = (b, n_pad // _TM, n_k_steps)
+    grid = (b, n_pad // tile, n_k_steps)
     out = pl.pallas_call(
         functools.partial(_kernel, n_true=n, n_k_steps=n_k_steps),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, _TM, c_pad), lambda bi, i, k: (bi, i, 0),
+            pl.BlockSpec((1, tile, c_pad), lambda bi, i, k: (bi, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TK, c_pad), lambda bi, i, k: (bi, k, 0),
+            pl.BlockSpec((1, tile, c_pad), lambda bi, i, k: (bi, k, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TK, c_pad), lambda bi, i, k: (bi, k, 0),
+            pl.BlockSpec((1, tile, c_pad), lambda bi, i, k: (bi, k, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TM, c_pad), lambda bi, i, k: (bi, i, 0),
+        out_specs=pl.BlockSpec((1, tile, c_pad), lambda bi, i, k: (bi, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n_pad, c_pad), theta.dtype),
-        scratch_shapes=[pltpu.VMEM((_TM, c_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tile, c_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),

@@ -289,6 +289,39 @@ class Trainer:
             self._log(f"patient {clip['clip_id']} pred finished")
         return written
 
+    def infer(self, out_dir: str = "./predictions") -> int:
+        """Serving path: run every test clip and write predicted masks.
+
+        Writes per-clip, per-view binary 5-ch masks as NIfTI
+        (``pred_<clip>_v<view>.nii.gz``, (5, H, W, T) uint8 — the
+        ``Test_Seg_PAHDataset`` label layout) so downstream consumers of the
+        reference's data contract can read predictions like labels.
+        Returns the number of files written.
+        """
+        from glfusion_tpu.data.nifti import write_nifti
+
+        cfg = self.cfg
+        ids = sorted(self.test_infos.keys())
+        loader = TestClipLoader(self.test_infos, ids, cfg.model.views,
+                                cfg.data.clip_length)
+        out = Path(out_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        written = 0
+        for clip in loader.clips():
+            batch = {"images": jnp.asarray(clip["images"]),
+                     "masks": jnp.asarray(clip["masks"])}
+            batch = shard_batch(batch, self.mesh, batch_axis=1)
+            res = self.eval_step(self.state, batch)
+            pred = np.asarray(res["logits"]) > 0.0  # sigmoid > 0.5
+            for vi, view in enumerate(cfg.model.views):
+                # (T, H, W, 5) → (5, H, W, T) uint8
+                vol = np.transpose(pred[vi], (3, 1, 2, 0)).astype(np.uint8)
+                write_nifti(out / f"pred_{clip['clip_id']}_v{view}.nii.gz",
+                            vol)
+                written += 1
+            self._log(f"clip {clip['clip_id']} predicted")
+        return written
+
     # ---------------------------------------------------------------- utils
 
     def _log(self, msg: str):

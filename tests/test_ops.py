@@ -155,3 +155,23 @@ def test_dilated_decomposition_exact_all_rates(rate, hw):
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_fused_nonlocal_matches_naive_interpret():
+    """Pallas kernel (interpret mode on CPU) vs the naive contraction,
+    including a token count that is NOT a multiple of the tile."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glfusion_tpu.ops.nonlocal_attn import dot_nonlocal_attention
+    from glfusion_tpu.ops.tpavi_pallas import fused_dot_nonlocal
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(0), 3)
+    for n in (75, 256):
+        theta = jax.random.normal(k1, (2, n, 32))
+        phi = jax.random.normal(k2, (2, n, 32))
+        g = jax.random.normal(k3, (2, n, 32))
+        y = fused_dot_nonlocal(theta, phi, g, interpret=True)
+        ref = dot_nonlocal_attention(theta, phi, g, impl="naive")
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   atol=1e-4, rtol=1e-4)
