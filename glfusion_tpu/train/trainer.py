@@ -145,10 +145,12 @@ class Trainer:
         cycle_iter = (itertools.cycle(self.cycle_loader.clips(epoch))
                       if cfg.train.use_cycle and len(self.cycle_loader) > 0
                       else None)
+        from glfusion_tpu.data.prefetch import prefetch
+
         agg = None
         steps = 0
-        for host_batch in self.train_loader.batches(cfg.train.batch_size,
-                                                    epoch):
+        for host_batch in prefetch(
+                self.train_loader.batches(cfg.train.batch_size, epoch)):
             self.rng, r_pre, r_step = jax.random.split(self.rng, 3)
             batch = preprocess_batch(
                 r_pre, jnp.asarray(host_batch["images_raw"]),

@@ -150,3 +150,18 @@ def test_native_nifti_reader_matches_python(tmp_path):
     with pytest.raises(IOError):
         read_nifti_native(p64)
     np.testing.assert_array_equal(read_nifti(p64), a64)  # falls back
+
+
+def test_prefetch_preserves_order_and_raises():
+    from glfusion_tpu.data.prefetch import prefetch
+
+    assert list(prefetch(range(10), depth=3)) == list(range(10))
+
+    def boom():
+        yield 1
+        raise ValueError("producer failed")
+
+    it = prefetch(boom())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        list(it)
