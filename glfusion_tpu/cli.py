@@ -73,19 +73,31 @@ def config_from_args(args: argparse.Namespace) -> Config:
         raise SystemExit(
             f"error: --views contains unknown view id(s) {bad}; "
             f"valid ids are {list(ALL_VIEWS)}")
+    # --tiny supplies small defaults but explicit flags still win
+    defaults = build_parser()
+    explicit = lambda name, val: val != defaults.get_default(name)  # noqa: E731
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, views=views,
                                   variant=args.variant),
         data=dataclasses.replace(cfg.data, root=args.data_root,
-                                 clip_length=(cfg.data.clip_length if args.tiny
-                                              else args.clip_length)),
+                                 clip_length=(
+                                     args.clip_length
+                                     if not args.tiny
+                                     or explicit("clip_length",
+                                                 args.clip_length)
+                                     else cfg.data.clip_length)),
         opt=dataclasses.replace(cfg.opt, lr=args.lr,
                                 weight_decay=args.weight_decay),
         train=dataclasses.replace(
             cfg.train,
-            batch_size=(cfg.train.batch_size if args.tiny else args.batch_size),
-            num_epochs=(cfg.train.num_epochs if args.tiny else args.epochs),
+            batch_size=(args.batch_size
+                        if not args.tiny
+                        or explicit("batch_size", args.batch_size)
+                        else cfg.train.batch_size),
+            num_epochs=(args.epochs
+                        if not args.tiny or explicit("epochs", args.epochs)
+                        else cfg.train.num_epochs),
             use_cycle=not args.no_cycle,
             dense_cyc=args.dense_cyc,
             save_dir=args.save_dir,
