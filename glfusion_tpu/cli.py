@@ -128,6 +128,11 @@ def main(argv=None) -> int:
             "test_infos": str(root / cfg.data.test_infos_path),
             "data_list_dir": str(root / cfg.data.data_list_dir),
         }
+        missing = [p for p in data_paths.values() if not Path(p).exists()]
+        if missing:
+            raise SystemExit(
+                "error: --data-root is missing required entries "
+                f"(reference on-disk contract):\n  " + "\n  ".join(missing))
 
     trainer = Trainer(cfg, data_paths=data_paths)
     if args.resume or args.mode in ("val", "visual", "infer"):
