@@ -23,6 +23,45 @@ def _tap_bounds(r: int, d: int, size: int):
     return lo, hi
 
 
+class _KernelHolder(nn.Module):
+    """Bare kernel parameter with an nn.Conv-compatible tree path
+    (``<name>/kernel``) so checkpoint conversion is unaffected."""
+
+    shape: tuple
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          self.shape)
+
+
+def _add_border_taps(x: jnp.ndarray, kernel: jnp.ndarray, r: int,
+                     center: jnp.ndarray) -> jnp.ndarray:
+    """Add a dilated 3×3 conv's non-center in-bounds taps onto ``center``.
+
+    x: (..., H, W, Cin); kernel: (3, 3, Cin, Cout); center: the f32 center
+    contribution (x @ kernel[1,1]) for every position.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+    out = center
+    for ti, dy in enumerate((-1, 0, 1)):
+        ylo, yhi = _tap_bounds(r, dy, h)
+        if yhi <= ylo:
+            continue
+        for tj, dx in enumerate((-1, 0, 1)):
+            if ti == 1 and tj == 1:
+                continue  # center already included
+            xlo, xhi = _tap_bounds(r, dx, w)
+            if xhi <= xlo:
+                continue
+            src = x[..., ylo + dy * r:yhi + dy * r,
+                    xlo + dx * r:xhi + dx * r, :]
+            part = jnp.einsum("...c,co->...o", src, kernel[ti, tj],
+                              preferred_element_type=jnp.float32)
+            out = out.at[..., ylo:yhi, xlo:xhi, :].add(part)
+    return out
+
+
 class DilatedConv3x3(nn.Module):
     """Bias-free 3×3 dilated conv with clipped-tap decomposition.
 
@@ -96,21 +135,57 @@ class ASPP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dtype = jnp.dtype(self.dtype)
+        h, w = x.shape[-3], x.shape[-2]
 
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, dtype=dtype,
                                 name=name, **_BN)
 
+        def decomposes(rate: int) -> bool:
+            active = 0
+            for dy in (-1, 0, 1):
+                ylo, yhi = _tap_bounds(rate, dy, h)
+                for dx in (-1, 0, 1):
+                    xlo, xhi = _tap_bounds(rate, dx, w)
+                    active += max(0, yhi - ylo) * max(0, xhi - xlo)
+            return active * 2 < 9 * h * w
+
+        fuse_centers = all(decomposes(r) for r in self.rates)
+
         branches = []
-        # 1×1 branch
-        y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,
-                    name="b0_conv")(x)
-        branches.append(nn.relu(bn("b0_bn")(y)))
-        # dilated 3×3 branches (dead-tap-eliminated when shapes allow)
-        for i, rate in enumerate(self.rates):
-            y = DilatedConv3x3(self.channels, rate, dtype=self.dtype,
-                               name=f"b{i + 1}_conv")(x)
-            branches.append(nn.relu(bn(f"b{i + 1}_bn")(y)))
+        if fuse_centers:
+            # MXU-utilization fusion: the 1×1 branch and every dilated
+            # branch's CENTER tap are independent 1×1 contractions of the
+            # same input — run them as ONE (C → (1+R)·ch) matmul and split.
+            # Each output channel is the same dot product as in the
+            # per-branch form, so values are unchanged; border taps of each
+            # dilated branch are then added on their in-bounds regions.
+            b0_k = _KernelHolder((1, 1, x.shape[-1], self.channels),
+                                 name="b0_conv")()
+            dil_ks = [
+                _KernelHolder((3, 3, x.shape[-1], self.channels),
+                              name=f"b{i + 1}_conv")()
+                for i in range(len(self.rates))
+            ]
+            big = jnp.concatenate(
+                [b0_k[0, 0]] + [k[1, 1] for k in dil_ks],
+                axis=-1).astype(dtype)
+            centers = jnp.einsum("...c,co->...o", x.astype(dtype), big,
+                                 preferred_element_type=jnp.float32)
+            parts = jnp.split(centers, 1 + len(self.rates), axis=-1)
+            branches.append(nn.relu(bn("b0_bn")(parts[0].astype(dtype))))
+            for i, rate in enumerate(self.rates):
+                y = _add_border_taps(x.astype(dtype), dil_ks[i].astype(dtype),
+                                     rate, parts[i + 1])
+                branches.append(nn.relu(bn(f"b{i + 1}_bn")(y.astype(dtype))))
+        else:
+            y = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,
+                        name="b0_conv")(x)
+            branches.append(nn.relu(bn("b0_bn")(y)))
+            for i, rate in enumerate(self.rates):
+                y = DilatedConv3x3(self.channels, rate, dtype=self.dtype,
+                                   name=f"b{i + 1}_conv")(x)
+                branches.append(nn.relu(bn(f"b{i + 1}_bn")(y)))
         # image-pooling branch: global avg → 1×1 conv → BN → ReLU → broadcast
         p = jnp.mean(x, axis=(-3, -2), keepdims=True)
         p = nn.Conv(self.channels, (1, 1), use_bias=False, dtype=dtype,

@@ -175,3 +175,50 @@ def test_pallas_fused_nonlocal_matches_naive_interpret():
         ref = dot_nonlocal_attention(theta, phi, g, impl="naive")
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_aspp_fused_centers_matches_full_convs():
+    """The fused-center ASPP path must equal per-branch full dilated convs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from glfusion_tpu.models.aspp import ASPP
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 6))
+    # rates all > h/2 → every branch decomposes → fused-center path
+    m = ASPP(channels=4, rates=(5, 7, 9), dropout=0.0)
+    v = m.init(jax.random.PRNGKey(1), x, False)
+    y_fused = m.apply(v, x, False)
+
+    # reference: rebuild each branch with full lax convs + the same BNs
+    p, s = v["params"], v["batch_stats"]
+
+    def bn_eval(t, name):
+        mean, var = s[name]["mean"], s[name]["var"]
+        return ((t - mean) / jnp.sqrt(var + 1e-5) * p[name]["scale"]
+                + p[name]["bias"])
+
+    outs = []
+    y0 = jax.lax.conv_general_dilated(
+        x, p["b0_conv"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    outs.append(jax.nn.relu(bn_eval(y0, "b0_bn")))
+    for i, r in enumerate((5, 7, 9)):
+        k = p[f"b{i + 1}_conv"]["kernel"]
+        yi = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((r, r), (r, r)), rhs_dilation=(r, r),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        outs.append(jax.nn.relu(bn_eval(yi, f"b{i + 1}_bn")))
+    pool = jnp.mean(x, axis=(1, 2), keepdims=True)
+    yp = jax.lax.conv_general_dilated(
+        pool, p["pool_conv"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    yp = jax.nn.relu(bn_eval(yp, "pool_bn"))
+    outs.append(jnp.broadcast_to(yp, x.shape[:3] + (4,)))
+    cat = jnp.concatenate(outs, -1)
+    proj = jax.lax.conv_general_dilated(
+        cat, p["project_conv"]["kernel"], (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    expected = jax.nn.relu(bn_eval(proj, "project_bn"))
+    np.testing.assert_allclose(np.asarray(y_fused), np.asarray(expected),
+                               atol=1e-5, rtol=1e-5)
