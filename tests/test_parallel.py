@@ -48,3 +48,29 @@ def test_dryrun_multichip_1dev():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(1)
+
+
+def test_sharded_forward_matches_unsharded():
+    """GSPMD correctness of our sharding rules: the same eval forward must
+    produce (numerically) identical logits for replicated, data-parallel,
+    and tensor-parallel placements."""
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+
+    cfg = tiny_config().model
+    model = GlobalAndLocal(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 4, 32, 32, 1))
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(1))
+
+    def run(mesh_data, mesh_model):
+        mesh = make_mesh(data=mesh_data, model=mesh_model)
+        v = shard_variables(variables, mesh)
+        xb = shard_batch({"images": x}, mesh, batch_axis=1)["images"]
+        return np.asarray(
+            jax.jit(lambda vv, xx: model.apply(vv, xx, False)["mask"])(v, xb))
+
+    base = np.asarray(model.apply(variables, x, False)["mask"])
+    np.testing.assert_allclose(run(8, 1), base, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(run(2, 4), base, atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(run(4, 2), base, atol=1e-4, rtol=1e-4)
