@@ -90,3 +90,32 @@ def test_train_two_epochs_loss_decreases_and_eval_runs(synth, tmp_path):
         trainer.state.params["global_attn"]["theta"]["kernel"])
     p1 = np.asarray(state2.params["global_attn"]["theta"]["kernel"])
     np.testing.assert_array_equal(p0, p1)
+
+
+def test_training_is_deterministic_for_fixed_seed(tmp_path):
+    """Same seed → bitwise-identical first-epoch metrics (the reproducibility
+    contract the reference approximates with its global seed 6666)."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.train.trainer import Trainer
+
+    def run(tag):
+        cfg = tiny_config()
+        cfg = dataclasses.replace(
+            cfg, train=dataclasses.replace(
+                cfg.train, num_epochs=1, use_cycle=False,
+                save_dir=str(tmp_path / f"ckpt_{tag}"),
+                log_dir=str(tmp_path / f"log_{tag}"),
+                eval_every_epochs=100, save_every_epochs=100))
+        from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+        paths = generate_synthetic_dataset(tmp_path / f"data_{tag}",
+                                           cfg.data, views=cfg.model.views,
+                                           seed=7)
+        tr = Trainer(cfg, data_paths=paths, verbose=False)
+        return tr.train(num_epochs=1)
+
+    a = run("a")
+    b = run("b")
+    assert a["loss"] == b["loss"]
+    assert a["dice"] == b["dice"]
