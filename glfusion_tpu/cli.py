@@ -56,6 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sweep", action="store_true",
                    help="val mode: evaluate EVERY saved checkpoint and report"
                         " the best val epoch (reference main.py:316-323)")
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                   help="compute dtype (params stay f32). The reference is "
+                        "f32; bfloat16 halves activation HBM — required to "
+                        "fit full-size training on one 16 GB v5e chip")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize backbone blocks (saves activation "
+                        "HBM at ~30%% extra FLOPs)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (overrides autodetection; "
                         "useful when a site-level jax import has already "
@@ -78,8 +85,10 @@ def config_from_args(args: argparse.Namespace) -> Config:
     explicit = lambda name, val: val != defaults.get_default(name)  # noqa: E731
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, views=views,
-                                  variant=args.variant),
+        model=dataclasses.replace(
+            cfg.model, views=views, variant=args.variant,
+            dtype=(args.dtype or cfg.model.dtype),
+            remat=args.remat or cfg.model.remat),
         data=dataclasses.replace(cfg.data, root=args.data_root,
                                  clip_length=(
                                      args.clip_length

@@ -376,16 +376,11 @@ class FullVideoLoader:
 
 # -------------------------------------------------------------- device side
 
-@functools.partial(jax.jit, static_argnames=("crop_hw", "is_train", "view_ids"))
-def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
+def _preprocess_core(rng: jax.Array, images_raw: jnp.ndarray,
                      masks_raw: jnp.ndarray, *, crop_hw: int, is_train: bool,
                      view_ids: tuple[int, ...]) -> dict:
-    """Fused crop + normalize + remap + channelize on device.
-
-    images_raw/masks_raw: (V, B, R, R). Returns images (V, B, c, c, 1) in
-    [0,1] and masks (V, B, c, c, 5). The crop window is shared between image
-    and mask of a sample (MONAI paired-keys behavior) and drawn per sample.
-    """
+    """Traceable body of ``preprocess_batch`` — also inlined into the fused
+    train step (train/step.py) so one dispatch covers preprocess + train."""
     v, b, r, _ = images_raw.shape
     c = crop_hw
 
@@ -412,6 +407,20 @@ def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
 
     masks5 = jax.vmap(remap)(view_idx, msks)  # (V, B, c, c, 5)
     return {"images": imgs.astype(jnp.float32), "masks": masks5}
+
+
+@functools.partial(jax.jit, static_argnames=("crop_hw", "is_train", "view_ids"))
+def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
+                     masks_raw: jnp.ndarray, *, crop_hw: int, is_train: bool,
+                     view_ids: tuple[int, ...]) -> dict:
+    """Fused crop + normalize + remap + channelize on device.
+
+    images_raw/masks_raw: (V, B, R, R). Returns images (V, B, c, c, 1) in
+    [0,1] and masks (V, B, c, c, 5). The crop window is shared between image
+    and mask of a sample (MONAI paired-keys behavior) and drawn per sample.
+    """
+    return _preprocess_core(rng, images_raw, masks_raw, crop_hw=crop_hw,
+                            is_train=is_train, view_ids=view_ids)
 
 
 @functools.partial(jax.jit, static_argnames=("crop_hw", "is_train"))

@@ -29,15 +29,30 @@ from glfusion_tpu.train.metrics import confusion_counts
 from glfusion_tpu.train.train_state import TrainState
 
 
-def make_train_step(cfg: Config, model):
+def make_train_step(cfg: Config, model, fuse_preprocess: bool = False):
+    """fuse_preprocess=True: the step takes RAW host batches (images_raw,
+    masks_raw, clips) and runs the crop/normalize/remap preprocessing inside
+    the same jit — ONE dispatch per step instead of several, which is what
+    dominates wall time on high-latency device transports."""
     views = tuple(cfg.model.views)
     test_idx = tuple(views.index(v) for v in cfg.train.test_views
                      if v in views)
     tc = cfg.train
+    view_ids = None
+    if fuse_preprocess:
+        from glfusion_tpu.data.pipeline import view_ids_tuple
+        view_ids = view_ids_tuple(views)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
+        if fuse_preprocess:
+            from glfusion_tpu.data.pipeline import _preprocess_core
+            rng_pre, rng_drop = jax.random.split(rng_drop)
+            pre = _preprocess_core(
+                rng_pre, batch["images_raw"], batch["masks_raw"],
+                crop_hw=cfg.data.crop_hw, is_train=True, view_ids=view_ids)
+            batch = dict(batch, **pre)
 
         def loss_fn(params):
             out, upd = model.apply(

@@ -95,7 +95,8 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
             tx=make_optimizer(cfg, self.steps_per_epoch),
         )
-        self.train_step = make_train_step(cfg, self.model)
+        self.train_step = make_train_step(cfg, self.model,
+                                          fuse_preprocess=True)
         self.eval_step = make_eval_step(cfg, self.model)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
@@ -147,26 +148,30 @@ class Trainer:
                       else None)
         from glfusion_tpu.data.prefetch import prefetch
 
+        # metrics accumulate ON DEVICE and transfer once per epoch: each
+        # per-step host fetch is a full round trip, which dominates wall
+        # time on high-latency transports (measured 50 s/step → ~0.5 s/step
+        # on the remote TPU tunnel).
         agg = None
         steps = 0
         for host_batch in prefetch(
                 self.train_loader.batches(cfg.train.batch_size, epoch)):
-            self.rng, r_pre, r_step = jax.random.split(self.rng, 3)
-            batch = preprocess_batch(
-                r_pre, jnp.asarray(host_batch["images_raw"]),
-                jnp.asarray(host_batch["masks_raw"]),
-                crop_hw=cfg.data.crop_hw, is_train=True,
-                view_ids=self.view_ids)
+            self.rng, r_step = jax.random.split(self.rng)
+            # raw batch; preprocessing runs inside the fused train step
+            batch = {"images_raw": jnp.asarray(host_batch["images_raw"]),
+                     "masks_raw": jnp.asarray(host_batch["masks_raw"])}
             if cycle_iter is not None:
                 batch["clips"] = jnp.asarray(next(cycle_iter))[..., None]
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             self.state, metrics = self.train_step(self.state, batch, r_step)
             steps += 1
-            m = {k: np.asarray(v) for k, v in metrics.items()}
-            agg = m if agg is None else {k: agg[k] + m[k] for k in m}
+            agg = metrics if agg is None else jax.tree_util.tree_map(
+                jnp.add, agg, metrics)
         if agg is None:
             return {"loss": 0.0, "seg_loss": 0.0, "cyc_loss": 0.0, "dice": 0.0}
-        counts = {k: float(agg[k].sum()) for k in ("tp", "fp", "fn", "tn")}
+        agg = jax.device_get(agg)  # ONE transfer for the whole epoch
+        counts = {k: float(np.asarray(agg[k]).sum())
+                  for k in ("tp", "fp", "fn", "tn")}
         derived = overlap_metrics({k: jnp.float32(v)
                                    for k, v in counts.items()})
         return {
@@ -193,21 +198,31 @@ class Trainer:
         loader = TestClipLoader(self.test_infos, clip_ids, cfg.model.views,
                                 cfg.data.clip_length)
         v = cfg.model.num_views
-        totals = {k: np.zeros(v) for k in ("tp", "fp", "fn", "tn")}
-        part_totals = {k: np.zeros((v, cfg.model.num_classes))
-                       for k in ("tp", "fp", "fn", "tn")}
-        loss = 0.0
+        # accumulate on device; one transfer at the end (high-latency
+        # transports make per-clip fetches the bottleneck)
+        acc = None
         nclips = 0
         for clip in loader.clips():
             batch = {"images": jnp.asarray(clip["images"]),
                      "masks": jnp.asarray(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             out = self.eval_step(self.state, batch)
-            loss += float(out["loss"])
-            for k in totals:
-                totals[k] += np.asarray(out["counts"][k])
-                part_totals[k] += np.asarray(out["part_counts"][k])
+            out = {"loss": out["loss"], "counts": out["counts"],
+                   "part_counts": out["part_counts"]}
+            acc = out if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, out)
             nclips += 1
+        if acc is None:
+            loss = 0.0
+            totals = {k: np.zeros(v) for k in ("tp", "fp", "fn", "tn")}
+            part_totals = {k: np.zeros((v, cfg.model.num_classes))
+                           for k in ("tp", "fp", "fn", "tn")}
+        else:
+            acc = jax.device_get(acc)
+            loss = float(acc["loss"])
+            totals = {k: np.asarray(acc["counts"][k]) for k in acc["counts"]}
+            part_totals = {k: np.asarray(acc["part_counts"][k])
+                           for k in acc["part_counts"]}
         report = {"loss": loss, "clips": nclips, "views": {}}
         for vi, view in enumerate(cfg.model.views):
             m = overlap_metrics({k: jnp.float32(totals[k][vi])
