@@ -111,13 +111,30 @@ def generate_synthetic_dataset(root: str | Path, cfg: DataConfig,
         unlab_infos[pid] = dict(rec, views_images=al_images,
                                 views_labels=al_labels)
 
-    # test clips '0_0'..'0_9' (Test_Seg_PAHDataset contract)
+    # test clips '0_0'..'0_9' (Test_Seg_PAHDataset contract). The reference's
+    # test clips are pre-processed offline to 112²; here that means running
+    # unseen patients through the DETERMINISTIC version of the train
+    # transform (nearest resize to 144² then center crop 112²) so eval
+    # measures generalization, not a scale/statistics shift.
+    def _resize_video(vol, out_hw):
+        hi = np.floor(np.arange(out_hw) *
+                      np.float32(vol.shape[0]) / np.float32(out_hw))
+        wi = np.floor(np.arange(out_hw) *
+                      np.float32(vol.shape[1]) / np.float32(out_hw))
+        hi = np.clip(hi.astype(np.int64), 0, vol.shape[0] - 1)
+        wi = np.clip(wi.astype(np.int64), 0, vol.shape[1] - 1)
+        return vol[hi][:, wi]
+
+    rhw = cfg.resize_hw
+    off = (rhw - chw) // 2
     test_infos = {}
     for ci in range(10):
         cid = f"0_{ci}"
         views_images, views_labels = {}, {}
         for view in views:
-            cimg, clab = _make_video(chw, clip_t, _VIEW_LABELS[view], rs)
+            rimg, rlab = _make_video(hw, clip_t, _VIEW_LABELS[view], rs)
+            cimg = _resize_video(rimg, rhw)[off:off + chw, off:off + chw]
+            clab = _resize_video(rlab, rhw)[off:off + chw, off:off + chw]
             vi = ALL_VIEWS.index(view)
             chan = table[vi][np.clip(clab.astype(np.int64), 0, 4)]
             cmask = np.stack([(chan == c) for c in range(5)]).astype(np.uint8)
