@@ -200,9 +200,11 @@ class Trainer:
         v = cfg.model.num_views
         # accumulate on device; one transfer at the end (high-latency
         # transports make per-clip fetches the bottleneck)
+        from glfusion_tpu.data.prefetch import prefetch
+
         acc = None
         nclips = 0
-        for clip in loader.clips():
+        for clip in prefetch(loader.clips()):
             batch = {"images": jnp.asarray(clip["images"]),
                      "masks": jnp.asarray(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
