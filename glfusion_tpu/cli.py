@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (saves activation "
                         "HBM at ~30%% extra FLOPs)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the anomaly-detection "
+                        "analogue of the reference's "
+                        "torch.autograd.set_detect_anomaly, main.py:37)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (overrides autodetection; "
                         "useful when a site-level jax import has already "
@@ -123,6 +127,9 @@ def main(argv=None) -> int:
     if args.platform is not None:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        from glfusion_tpu.utils.profiling import debug_nans
+        debug_nans(True)
     cfg = config_from_args(args)
 
     from glfusion_tpu.train.trainer import Trainer
