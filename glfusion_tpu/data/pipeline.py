@@ -8,6 +8,10 @@ Split of work (TPU-first):
   device — one jit: paired random/center crop to 112², /255 normalize,
            raw-label → 5-structure remap, view stacking. Replaces the
            MONAI transform stack (``datasets/loader.py:491-509``).
+
+Note: the reference constructs RandFlipd augmentations but never adds them
+to its Compose (``loader.py:482-489`` vs ``:491-499``) — flips are dead
+code there and intentionally absent here.
 """
 
 from __future__ import annotations
