@@ -10,7 +10,7 @@ train step over a data-parallel mesh, metric accumulation in-graph.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

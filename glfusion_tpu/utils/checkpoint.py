@@ -11,7 +11,6 @@ from __future__ import annotations
 from pathlib import Path
 from typing import Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 

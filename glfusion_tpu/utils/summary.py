@@ -8,8 +8,6 @@ log (trainer.py) is always written regardless.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 
