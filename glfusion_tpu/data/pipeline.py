@@ -73,30 +73,52 @@ class SegFrameLoader:
 
     def __init__(self, index: PatientIndex, ids: Sequence[str],
                  views: Sequence[str], cfg: Config, is_train: bool,
-                 seed: int = 0):
+                 seed: int = 0, cache_items: int = 256):
         self.index = index
         self.ids = [i for i in ids if i in index.records]
         self.views = tuple(views)
         self.cfg = cfg
         self.is_train = is_train
         self.seed = seed
-        self._cache: Dict[tuple, tuple] = {}
+        # LRU of PRE-RESIZED videos in their on-disk dtype. Caching raw
+        # decoded volumes does not scale: the real corpus's 800×600×~127
+        # videos are ~240 MB each as f32 (hundreds of GB across 178×3
+        # views); a resized 144² uint8/int16 video is ~2-5 MB.
+        import collections
+        self._cache: "collections.OrderedDict[tuple, tuple]" = (
+            collections.OrderedDict())
+        self._cache_items = cache_items
 
     def __len__(self) -> int:
         n = len(self.ids)
         return n * self.cfg.data.train_repeat if self.is_train else n
 
     def _load(self, pid: str, view: str):
+        """(resized_images (R,R,T), resized_labels (R,R,T), labeled_idx)."""
         key = (pid, view)
-        if key not in self._cache:
-            img_p, lab_p = self.index.view_paths(pid, view)
-            if img_p is None:
-                self._cache[key] = (None, None)
-            else:
-                img = np.asarray(read_nifti(img_p)).squeeze()
-                lab = np.asarray(read_nifti(lab_p)).squeeze()
-                self._cache[key] = (img, lab)
-        return self._cache[key]
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            return self._cache[key]
+        img_p, lab_p = self.index.view_paths(pid, view)
+        if img_p is None:
+            entry = (None, None, None)
+        else:
+            r = self.cfg.data.resize_hw
+            img = np.asarray(read_nifti(img_p)).squeeze()
+            lab = np.asarray(read_nifti(lab_p)).squeeze()
+            if img.ndim == 2:
+                img, lab = img[..., None], lab[..., None]
+            # labeled-frame rule on the RAW labels (loader.py:433-446)
+            score = lab.reshape(-1, lab.shape[-1]).sum(0)
+            labeled = np.flatnonzero(score > 100)
+            if len(labeled) == 0:
+                labeled = np.arange(lab.shape[-1])
+            entry = (_resize_nearest_np(img, (r, r)),
+                     _resize_nearest_np(lab, (r, r)), labeled)
+        self._cache[key] = entry
+        if len(self._cache) > self._cache_items:
+            self._cache.popitem(last=False)
+        return entry
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
         rs = np.random.RandomState(self.seed + epoch if self.is_train
@@ -115,14 +137,12 @@ class SegFrameLoader:
             for bi, oi in enumerate(take):
                 pid = self.ids[oi % len(self.ids)]
                 for vi, view in enumerate(self.views):
-                    img, lab = self._load(pid, view)
+                    img, lab, labeled = self._load(pid, view)
                     if img is None:
                         continue
-                    fr_img, fr_lab, _ = select_labeled_frame(img, lab, rs)
-                    imgs[vi, bi] = _resize_nearest_np(
-                        fr_img.astype(np.float32), (r, r))
-                    masks[vi, bi] = _resize_nearest_np(
-                        fr_lab.astype(np.int32), (r, r))
+                    fr = int(rs.choice(labeled))
+                    imgs[vi, bi] = img[..., fr].astype(np.float32)
+                    masks[vi, bi] = lab[..., fr].astype(np.int32)
             yield {"images_raw": imgs, "masks_raw": masks}
 
 
