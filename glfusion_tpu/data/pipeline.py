@@ -93,6 +93,49 @@ class SegFrameLoader:
         n = len(self.ids)
         return n * self.cfg.data.train_repeat if self.is_train else n
 
+    def _make_entry(self, img: np.ndarray, lab: np.ndarray):
+        r = self.cfg.data.resize_hw
+        img, lab = np.asarray(img).squeeze(), np.asarray(lab).squeeze()
+        if img.ndim == 2:
+            img, lab = img[..., None], lab[..., None]
+        # labeled-frame rule on the RAW labels (loader.py:433-446)
+        score = lab.reshape(-1, lab.shape[-1]).sum(0)
+        labeled = np.flatnonzero(score > 100)
+        if len(labeled) == 0:
+            labeled = np.arange(lab.shape[-1])
+        return (_resize_nearest_np(img, (r, r)),
+                _resize_nearest_np(lab, (r, r)), labeled)
+
+    def _put(self, key, entry):
+        self._cache[key] = entry
+        if len(self._cache) > self._cache_items:
+            self._cache.popitem(last=False)
+
+    def _prefill(self, keys) -> None:
+        """Decode a batch's uncached files in one parallel native read."""
+        missing, paths = [], []
+        for key in keys:
+            if key in self._cache:
+                continue
+            img_p, lab_p = self.index.view_paths(*key)
+            if img_p is None:
+                self._put(key, (None, None, None))
+            else:
+                missing.append(key)
+                paths.extend((img_p, lab_p))
+        if not missing:
+            return
+        try:
+            from glfusion_tpu.native import (native_available,
+                                             read_nifti_batch_native)
+            if not native_available():
+                return
+            vols = read_nifti_batch_native(paths)
+        except Exception:
+            return  # per-file fallback in _load
+        for i, key in enumerate(missing):
+            self._put(key, self._make_entry(vols[2 * i], vols[2 * i + 1]))
+
     def _load(self, pid: str, view: str):
         """(resized_images (R,R,T), resized_labels (R,R,T), labeled_idx)."""
         key = (pid, view)
@@ -103,21 +146,8 @@ class SegFrameLoader:
         if img_p is None:
             entry = (None, None, None)
         else:
-            r = self.cfg.data.resize_hw
-            img = np.asarray(read_nifti(img_p)).squeeze()
-            lab = np.asarray(read_nifti(lab_p)).squeeze()
-            if img.ndim == 2:
-                img, lab = img[..., None], lab[..., None]
-            # labeled-frame rule on the RAW labels (loader.py:433-446)
-            score = lab.reshape(-1, lab.shape[-1]).sum(0)
-            labeled = np.flatnonzero(score > 100)
-            if len(labeled) == 0:
-                labeled = np.arange(lab.shape[-1])
-            entry = (_resize_nearest_np(img, (r, r)),
-                     _resize_nearest_np(lab, (r, r)), labeled)
-        self._cache[key] = entry
-        if len(self._cache) > self._cache_items:
-            self._cache.popitem(last=False)
+            entry = self._make_entry(read_nifti(img_p), read_nifti(lab_p))
+        self._put(key, entry)
         return entry
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
@@ -134,6 +164,8 @@ class SegFrameLoader:
                 return
             imgs = np.zeros((len(self.views), len(take), r, r), np.float32)
             masks = np.zeros((len(self.views), len(take), r, r), np.int32)
+            self._prefill([(self.ids[oi % len(self.ids)], view)
+                           for oi in take for view in self.views])
             for bi, oi in enumerate(take):
                 pid = self.ids[oi % len(self.ids)]
                 for vi, view in enumerate(self.views):
