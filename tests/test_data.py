@@ -165,3 +165,20 @@ def test_prefetch_preserves_order_and_raises():
     assert next(it) == 1
     with pytest.raises(ValueError):
         list(it)
+
+
+def test_missing_view_pads_zeros(synth):
+    """Reference pads missing views with zeros (loader.py:268-282)."""
+    import copy
+
+    from glfusion_tpu.data.pipeline import SegFrameLoader
+
+    cfg, index, train = synth
+    index2 = copy.deepcopy(index)
+    pid = train[0]
+    index2.records[pid]["images"]["4"] = None  # view 4 missing for pid
+    loader = SegFrameLoader(index2, [pid], ("1", "4"), cfg, is_train=False)
+    batch = next(loader.batches(1))
+    assert batch["images_raw"][0].sum() > 0      # view 1 present
+    assert batch["images_raw"][1].sum() == 0     # view 4 → zeros
+    assert batch["masks_raw"][1].sum() == 0
