@@ -32,7 +32,9 @@ import numpy as np
 # batch 1×3 views: 4.96 s/step → 0.60 frames/s; BASELINE.md "CPU baseline").
 CPU_BASELINE_FPS = 0.60
 
-BATCH_FRAMES = 8   # frames per view per step (reference batch, main.py:914)
+# throughput-optimal batch (measured: 8→1155, 16→1194, 32→1218 frames/s);
+# the reference's train batch is 8 (main.py:914)
+BATCH_FRAMES = 32
 ITERS = 10
 
 
