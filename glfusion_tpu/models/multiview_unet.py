@@ -30,7 +30,8 @@ def _per_view(module_cls):
         module_cls,
         in_axes=(0, None),
         out_axes=0,
-        variable_axes={"params": 0, "batch_stats": 0},
+        variable_axes={"params": 0, "batch_stats": 0,
+                       "intermediates": 0},
         split_rngs={"params": True, "dropout": True},
     )
 

@@ -144,3 +144,28 @@ def test_tpavi_modes_forward():
         v = m.init(jax.random.PRNGKey(1), x, False)
         y = m.apply(v, x, False)
         assert y.shape == x.shape, mode
+
+
+def test_capture_activations_and_diff():
+    import jax
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.utils.activations import (capture_activations,
+                                                diff_activations)
+
+    cfg = tiny_config().model
+    model = GlobalAndLocal(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 1, 32, 32, 1))
+    v = jax.jit(lambda r: model.init(r, x, False))(jax.random.PRNGKey(1))
+    acts = capture_activations(model, v, x)
+    # per-module activations captured, including nested backbone blocks
+    assert any("backbone" in k for k in acts)
+    assert any(k.startswith("__output__.mask") for k in acts)
+    # self-diff is exactly zero; perturbed diff is flagged worst-first
+    assert all(d == 0.0 for d in diff_activations(acts, acts).values())
+    acts2 = dict(acts)
+    key = next(iter(acts2))
+    acts2[key] = acts2[key] + 1.0
+    worst = next(iter(diff_activations(acts, acts2)))
+    assert worst == key
