@@ -69,11 +69,13 @@ def main() -> int:
                                 sorted(trainer.test_infos)[:1],
                                 cfg.model.views, cfg.data.clip_length)
         clip = next(loader.clips())
+        # first 2 frames only: every module's activation is materialized on
+        # host, a full 40-frame clip would need several GB
         acts = capture_activations(
             trainer.model,
             {"params": converted["params"],
              "batch_stats": converted["batch_stats"]},
-            jnp.asarray(clip["images"]))
+            jnp.asarray(clip["images"][:, :2]))
         np.savez(args.dump_activations, **acts)
         print(f"wrote {len(acts)} activations for clip "
               f"{clip['clip_id']} to {args.dump_activations}")
