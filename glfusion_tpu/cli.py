@@ -63,6 +63,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (saves activation "
                         "HBM at ~30%% extra FLOPs)")
+    p.add_argument("--eval-every", type=int, default=1,
+                   help="epochs between in-training validations")
+    p.add_argument("--save-every", type=int, default=1,
+                   help="epochs between checkpoints")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the anomaly-detection "
                         "analogue of the reference's "
@@ -116,6 +120,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             save_dir=args.save_dir,
             log_dir=args.log_dir,
             test_views=views,
+            eval_every_epochs=args.eval_every,
+            save_every_epochs=args.save_every,
             mesh_model=args.mesh_model,
         ),
     )
