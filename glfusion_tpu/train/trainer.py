@@ -25,7 +25,6 @@ from glfusion_tpu.data.pipeline import (
     AlignedClipLoader,
     SegFrameLoader,
     TestClipLoader,
-    preprocess_batch,
     view_ids_tuple,
 )
 from glfusion_tpu.models import GlobalAndLocal
