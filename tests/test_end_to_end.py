@@ -119,3 +119,30 @@ def test_training_is_deterministic_for_fixed_seed(tmp_path):
     b = run("b")
     assert a["loss"] == b["loss"]
     assert a["dice"] == b["dice"]
+
+
+def test_infer_and_sweep_apis(synth, tmp_path):
+    """Trainer.infer writes NIfTI predictions; sweep picks a best epoch."""
+    from dataclasses import replace
+
+    from glfusion_tpu.train.trainer import Trainer
+
+    cfg, paths = synth
+    cfg = replace(cfg, train=replace(cfg.train,
+                                     save_dir=str(tmp_path / "ckpt"),
+                                     log_dir=str(tmp_path / "log"),
+                                     num_epochs=2,
+                                     eval_every_epochs=100,
+                                     save_every_epochs=1))
+    trainer = Trainer(cfg, data_paths=paths, verbose=False)
+    trainer.train(num_epochs=2)
+
+    n = trainer.infer(out_dir=str(tmp_path / "preds"))
+    files = sorted((tmp_path / "preds").glob("pred_*.nii.gz"))
+    assert n == len(files) == 10 * cfg.model.num_views
+    vol = read_nifti(files[0])
+    assert vol.shape[0] == 5 and set(np.unique(vol)) <= {0, 1}
+
+    best = trainer.sweep_checkpoints(min_epoch=0)
+    assert best["epoch"] in (0, 1)
+    assert best["val_dice"] >= 0.0
