@@ -157,8 +157,15 @@ class SegFrameLoader:
         if self.is_train:
             rs.shuffle(order)
         r = self.cfg.data.resize_hw
-        nb = len(order) // batch_size
-        for b in range(max(nb, 1) if not self.is_train else nb):
+        if self.is_train:
+            # drop-last: a partial batch would retrigger jit compilation of
+            # the train step for one odd shape (torch DataLoader default is
+            # also drop_last=False only for eval-style iteration)
+            nb = len(order) // batch_size
+        else:
+            # eval must score EVERY patient: emit the final short batch
+            nb = -(-len(order) // batch_size)
+        for b in range(nb):
             take = order[b * batch_size:(b + 1) * batch_size]
             if len(take) == 0:
                 return
@@ -327,7 +334,10 @@ class RegressionClipLoader:
             rs.shuffle(order)
         r = self.cfg.data.resize_hw
         t = self.cfg.data.reg_clip_frames
-        nb = max(len(order) // batch_size, 1)
+        # train: drop-last (static shapes for the jitted step);
+        # eval: ceil so every patient is scored (final batch may be short)
+        nb = (len(order) // batch_size if self.is_train
+              else -(-len(order) // batch_size))
         for b in range(nb):
             take = order[b * batch_size:(b + 1) * batch_size]
             if len(take) == 0:

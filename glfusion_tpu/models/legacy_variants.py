@@ -34,7 +34,12 @@ from glfusion_tpu.config import ModelConfig
 from glfusion_tpu.models.aspp import DeepLabHead
 from glfusion_tpu.models.avs import ViewChannelTransformer
 from glfusion_tpu.models.glfusion import _per_view
-from glfusion_tpu.models.resnet import ResNetIEKD
+from glfusion_tpu.models.resnet import (
+    IEKDStem,
+    ResNetIEKD,
+    ResNetStage,
+    stage_plan,
+)
 from glfusion_tpu.models.tpavi import TPAVI
 from glfusion_tpu.ops.resize import resize_bilinear
 
@@ -97,29 +102,52 @@ class LegacyMultiviewSeg(nn.Module):
         v, b, hh, ww, _ = x.shape
         multi_stage = self.fusion == "tpavi" and len(self.fusion_stages) > 1
 
-        bb_kw = dict(stem_width=cfg.stem_width,
-                     block_sizes=tuple(cfg.block_sizes),
-                     widths=tuple(cfg.widths), expansion=cfg.expansion,
-                     dilate_stages=tuple(cfg.dilate_stages),
-                     dtype=cfg.dtype, return_taps=multi_stage)
-        stage_keys = ("layer1", "layer2", "layer3", "layer4")
-        if self.shared_backbone:
-            bb = ResNetIEKD(**bb_kw, name="backbone")
-            outs = [bb(x[i], train) for i in range(v)]
-            feats = (tuple(jnp.stack([o[s] for o in outs])
-                           for s in stage_keys)
-                     if multi_stage else jnp.stack(outs))
-        else:
-            feats = _per_view(ResNetIEKD)(**bb_kw, name="backbone")(x, train)
-            if multi_stage:
-                feats = tuple(feats[s] for s in stage_keys)
-
         def fuse_tpavi(f, name):
             attn = TPAVI(name=name)
             return jnp.swapaxes(attn(jnp.swapaxes(f, 0, 1), train), 0, 1)
 
+        def lift(mod_cls, name, **kw):
+            """Per-view-stacked (vmapped params) or shared module over the
+            leading view axis, returning a (x, train)->(V,...) callable."""
+            if self.shared_backbone:
+                mod = mod_cls(**kw, name=name)
+                return lambda f, train: jnp.stack(
+                    [mod(f[i], train) for i in range(v)])
+            return _per_view(mod_cls)(**kw, name=name)
+
+        if multi_stage:
+            # model20 (reference ours.py:1175-1186): fusion is INTERLEAVED
+            # with the backbone — the fused stage-k features feed stage k+1,
+            # so earlier fusion blocks shape later features (and receive
+            # gradient), unlike post-hoc fusion of collected taps.
+            xk = lift(IEKDStem, "backbone_stem", stem_width=cfg.stem_width,
+                      dtype=cfg.dtype)(x, train)
+            f4 = None
+            plan = stage_plan(cfg.block_sizes, cfg.widths, cfg.dilate_stages)
+            for stage, (blocks, planes, stride, fdil, dil) in enumerate(plan):
+                xk = lift(ResNetStage, f"backbone_layer{stage + 1}",
+                          planes=planes, blocks=blocks, stride=stride,
+                          first_dilation=fdil, dilation=dil,
+                          expansion=cfg.expansion, dtype=cfg.dtype)(xk, train)
+                if stage == len(plan) - 1:
+                    f4 = xk  # pre-fusion layer4 (reference returns it)
+                if (stage + 1) in self.fusion_stages:
+                    xk = fuse_tpavi(xk, f"non_local{stage + 1}")
+            mask = _SharedOrPerViewHead(
+                self.shared_classifier, cfg.num_classes, cfg,
+                name="classifier")(xk, train)
+            mask = resize_bilinear(mask, (hh, ww))
+            return {"mask": mask, "f4": f4, "f4_fusion": xk}
+
+        bb_kw = dict(stem_width=cfg.stem_width,
+                     block_sizes=tuple(cfg.block_sizes),
+                     widths=tuple(cfg.widths), expansion=cfg.expansion,
+                     dilate_stages=tuple(cfg.dilate_stages),
+                     dtype=cfg.dtype)
+        feats = lift(ResNetIEKD, "backbone", **bb_kw)(x, train)
+
         if self.fusion == "none":
-            f4_fusion = feats if not multi_stage else feats[-1]
+            f4_fusion = feats
         elif self.fusion == "channel_transformer":
             f4_fusion = ViewChannelTransformer(name="attn4")(feats, train)
         elif self.fusion == "mlp_concat":
@@ -131,13 +159,7 @@ class LegacyMultiviewSeg(nn.Module):
             f4_fusion = _per_view(PointwiseConv)(
                 features=feats.shape[-1], name="fc")(cat, train)
         elif self.fusion == "tpavi":
-            if multi_stage:
-                fused = [fuse_tpavi(feats[s - 1], f"non_local{s}")
-                         if s in self.fusion_stages else feats[s - 1]
-                         for s in (1, 2, 3, 4)]
-                f4_fusion = fused[-1]
-            else:
-                f4_fusion = fuse_tpavi(feats, "non_local")
+            f4_fusion = fuse_tpavi(feats, "non_local")
         elif self.fusion == "decouple_tpavi":
             # model21: per-view consistent/complementary 1×1 conv + BN
             def proj(name):
@@ -159,5 +181,4 @@ class LegacyMultiviewSeg(nn.Module):
         mask = _SharedOrPerViewHead(self.shared_classifier, cfg.num_classes,
                                     cfg, name="classifier")(f4_fusion, train)
         mask = resize_bilinear(mask, (hh, ww))
-        f4 = feats[-1] if multi_stage else feats
-        return {"mask": mask, "f4": f4, "f4_fusion": f4_fusion}
+        return {"mask": mask, "f4": feats, "f4_fusion": f4_fusion}

@@ -71,6 +71,73 @@ class Bottleneck(nn.Module):
         return nn.relu(x + y)
 
 
+class IEKDStem(nn.Module):
+    """Stand-alone IEKD stem (conv 7×7 s1 p2 + BN + ReLU + maxpool) for
+    stage-interleaved assemblies (reference model20's ``init_block``,
+    ``models/ours.py:1124-1129``)."""
+
+    stem_width: int = 64
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        dtype = jnp.dtype(self.dtype)
+        x = nn.Conv(self.stem_width, (7, 7), strides=(1, 1),
+                    padding=((2, 2), (2, 2)), use_bias=True, dtype=dtype,
+                    name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="stem_bn", **_BN)(x)
+        return max_pool_3x3_s2(nn.relu(x))
+
+
+class ResNetStage(nn.Module):
+    """One ResNet stage as a stand-alone module, so assemblies can run
+    cross-view fusion BETWEEN stages (reference model20 feeds the fused
+    stage-k features into stage k+1, ``models/ours.py:1175-1186``).
+
+    ``first_dilation``/``dilation`` follow the torchvision ``_make_layer``
+    rule: the first block of a dilated stage uses the previous dilation."""
+
+    planes: int
+    blocks: int
+    stride: int = 1
+    first_dilation: int = 1
+    dilation: int = 1
+    expansion: int = 4
+    dtype: str = "float32"
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        for b in range(self.blocks):
+            x = Bottleneck(
+                planes=self.planes,
+                strides=self.stride if b == 0 else 1,
+                dilation=self.first_dilation if b == 0 else self.dilation,
+                expansion=self.expansion,
+                dtype=self.dtype,
+                name=f"block{b}",
+            )(x, train)
+        return x
+
+
+def stage_plan(block_sizes: Sequence[int], widths: Sequence[int],
+               dilate_stages: Sequence[bool]):
+    """Per-stage (blocks, planes, stride, first_dilation, dilation) under
+    the torchvision replace_stride_with_dilation rule — the single source
+    of truth shared by ResNetIEKD and stage-interleaved assemblies."""
+    plan = []
+    dilation = 1
+    for stage, (blocks, planes, dilate) in enumerate(
+            zip(block_sizes, widths, dilate_stages)):
+        stride = 1 if stage == 0 else 2
+        prev_dilation = dilation
+        if dilate:  # torchvision: dilation *= stride; stride = 1
+            dilation *= stride
+            stride = 1
+        plan.append((blocks, planes, stride, prev_dilation, dilation))
+    return plan
+
+
 class ResNetIEKD(nn.Module):
     """1-channel stride-1-stem dilated ResNet; returns the layer4 feature map.
 
@@ -107,20 +174,14 @@ class ResNetIEKD(nn.Module):
         if self.remat:
             block_cls = nn.remat(Bottleneck, static_argnums=(2,))
 
-        dilation = 1
         taps = {"stem": stem_act}
-        for stage, (blocks, planes, dilate) in enumerate(
-                zip(self.block_sizes, self.widths, self.dilate_stages)):
-            stride = 1 if stage == 0 else 2
-            prev_dilation = dilation
-            if dilate:  # torchvision: dilation *= stride; stride = 1
-                dilation *= stride
-                stride = 1
+        plan = stage_plan(self.block_sizes, self.widths, self.dilate_stages)
+        for stage, (blocks, planes, stride, first_dil, dil) in enumerate(plan):
             for b in range(blocks):
                 x = block_cls(
                     planes=planes,
                     strides=stride if b == 0 else 1,
-                    dilation=prev_dilation if b == 0 else dilation,
+                    dilation=first_dil if b == 0 else dil,
                     expansion=self.expansion,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",

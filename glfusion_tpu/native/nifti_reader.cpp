@@ -243,6 +243,25 @@ int gl_nifti_query(const char* path, int64_t* dims_out, int* dtype_out,
   return 0;
 }
 
+// v2: also reports scl_slope/scl_inter so the Python wrapper can decide
+// whether the f32-decoded voxels round-trip to the on-disk dtype exactly
+// (scaling applied => values are floats; casting back would truncate).
+int gl_nifti_query_v2(const char* path, int64_t* dims_out, int* dtype_out,
+                      int64_t* numel_out, float* slope_out,
+                      float* inter_out) {
+  std::vector<uint8_t> buf;
+  if (!read_file_prefix(path, buf, 352)) return 1;
+  Header h;
+  if (!parse_header(buf, h)) return 2;
+  dims_out[0] = h.ndim;
+  for (int i = 0; i < 7; ++i) dims_out[1 + i] = i < h.ndim ? h.shape[i] : 1;
+  *dtype_out = h.dtype;
+  *numel_out = h.numel;
+  *slope_out = h.scl_slope;
+  *inter_out = h.scl_inter;
+  return 0;
+}
+
 // out must have room for numel floats (file/Fortran order).
 int gl_nifti_read_f32(const char* path, float* out, int64_t numel) {
   std::vector<uint8_t> buf;

@@ -259,6 +259,7 @@ class Trainer:
             return {}
         best = {"epoch": None, "val_dice": -1.0, "test": None}
         original = self.state
+        original_epoch = self.epoch
         for step in steps:
             restored = self.ckpt.restore_step(self.state, step)
             if restored is None:
@@ -275,6 +276,7 @@ class Trainer:
                     best = {"epoch": step, "val_dice": val_dice,
                             "test": res.get("Inner-test")}
         self.state = original
+        self.epoch = original_epoch
         if best["epoch"] is not None:
             self._log(f"best val epoch {best['epoch']} "
                       f"(dice {best['val_dice']:.4f})")

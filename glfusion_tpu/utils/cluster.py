@@ -14,12 +14,18 @@ import os
 import jax
 
 
-def get_world_size() -> int:
-    """Process count (reference utils/tools.py:5-14)."""
+def _env_world_size() -> int | None:
+    """World size from launcher env vars alone (no backend touch)."""
     for var in ("PMI_SIZE", "OMPI_COMM_WORLD_SIZE"):
         if os.environ.get(var) is not None:
             return int(os.environ[var] or 1)
-    return jax.process_count()
+    return None
+
+
+def get_world_size() -> int:
+    """Process count (reference utils/tools.py:5-14)."""
+    ws = _env_world_size()
+    return ws if ws is not None else jax.process_count()
 
 
 def get_global_rank() -> int:
@@ -52,10 +58,15 @@ def initialize_distributed(port: int = 23455) -> None:
     coordinator discovery the reference computed (``main.py:953``) but never
     used. No-op for single-process runs.
     """
-    if get_world_size() <= 1 or jax.process_count() > 1:
+    # Guard on the LAUNCHER env vars only: jax.process_count() would
+    # initialize the local XLA backend, and jax.distributed.initialize must
+    # run before any backend use — touching it here would make multi-host
+    # bring-up permanently impossible in this process.
+    ws = _env_world_size()
+    if ws is None or ws <= 1:
         return
     jax.distributed.initialize(
         coordinator_address=f"{get_master_ip()}:{port}",
-        num_processes=get_world_size(),
+        num_processes=ws,
         process_id=get_global_rank(),
     )

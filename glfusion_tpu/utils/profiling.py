@@ -43,17 +43,30 @@ def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
             warmup: bool = True) -> float:
     """Seconds per call of ``fn(*args)`` measured on-device.
 
-    fn must return a pytree of arrays; a scalar mean of its first leaf
-    chains iterations so the device cannot overlap or elide them.
+    fn must return a pytree of arrays. The loop carry is threaded INTO the
+    first input leaf of every iteration (``leaf + carry``), so the call has
+    a true loop-carried dependency: XLA can neither hoist it out of the scan
+    (it is not loop-invariant) nor overlap/elide iterations. The carry value
+    is ~1e-30·mean(out), numerically invisible.
     """
 
     @jax.jit
     def chained(*a):
+        leaves, treedef = jax.tree_util.tree_flatten(a)
+        if not leaves:
+            raise ValueError("time_fn needs at least one array argument")
+        # perturb the first floating leaf (falls back to leaf 0: even an
+        # int cast of the carry creates the data dependency)
+        idx = next((i for i, l in enumerate(leaves)
+                    if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)), 0)
+
         def body(carry, _):
-            out = fn(*a)
+            per = list(leaves)
+            l0 = jnp.asarray(per[idx])
+            per[idx] = l0 + carry.astype(l0.dtype)
+            out = fn(*jax.tree_util.tree_unflatten(treedef, per))
             leaf = jax.tree_util.tree_leaves(out)[0]
-            return (jnp.mean(leaf).astype(jnp.float32) * 1e-30 + carry * 0.0,
-                    None)
+            return jnp.mean(leaf.astype(jnp.float32)) * 1e-30, None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return carry

@@ -127,8 +127,7 @@ def test_native_nifti_reader_matches_python(tmp_path):
 
     rs = np.random.RandomState(0)
     paths, arrs = [], []
-    for i, dt in enumerate([np.uint8, np.int16, np.int32, np.float32,
-                            np.uint16]):
+    for i, dt in enumerate([np.uint8, np.int16, np.float32, np.uint16]):
         arr = (rs.rand(17, 13, 9) * 100).astype(dt)
         p = tmp_path / f"v{i}.nii.gz"
         write_nifti(p, arr)
@@ -139,10 +138,13 @@ def test_native_nifti_reader_matches_python(tmp_path):
         assert got.shape == arr.shape and got.dtype == arr.dtype
         np.testing.assert_array_equal(got, arr)
         np.testing.assert_array_equal(got, read_nifti_py(p))
+    # batch read preserves the on-disk dtype (not blanket f32)
     outs = read_nifti_batch_native(paths)
     for arr, o in zip(arrs, outs):
-        np.testing.assert_allclose(o, arr.astype(np.float32))
-    # float64 would lose precision in the f32 core → routed to python
+        assert o.dtype == arr.dtype
+        np.testing.assert_array_equal(o, arr)
+    # float64 and 32-bit ints can exceed f32's 24-bit mantissa → routed to
+    # the python reader, which is exact
     from glfusion_tpu.data.nifti import read_nifti
     p64 = tmp_path / "f64.nii.gz"
     a64 = rs.rand(5, 6, 7)
@@ -150,6 +152,57 @@ def test_native_nifti_reader_matches_python(tmp_path):
     with pytest.raises(IOError):
         read_nifti_native(p64)
     np.testing.assert_array_equal(read_nifti(p64), a64)  # falls back
+    p32 = tmp_path / "i32.nii.gz"
+    a32 = np.array([2 ** 24 + 1, 2 ** 25 + 3, -7], np.int32).reshape(3, 1, 1)
+    write_nifti(p32, a32)
+    with pytest.raises(IOError):
+        read_nifti_native(p32)
+    np.testing.assert_array_equal(read_nifti(p32), a32)  # exact via python
+    with pytest.raises(IOError):  # one unsafe file fails the whole batch
+        read_nifti_batch_native(paths + [p32])
+
+
+def _write_scaled_nifti(path, arr_int16: np.ndarray, slope: float,
+                        inter: float) -> None:
+    """Write an int16 NIfTI with non-trivial scl_slope/scl_inter."""
+    import gzip
+    import struct
+
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    dim = [arr_int16.ndim] + list(arr_int16.shape) + [1] * (7 - arr_int16.ndim)
+    struct.pack_into("<8h", hdr, 40, *dim)
+    struct.pack_into("<h", hdr, 70, 4)  # int16
+    struct.pack_into("<h", hdr, 72, 16)
+    struct.pack_into("<f", hdr, 108, 352.0)
+    struct.pack_into("<f", hdr, 112, slope)
+    struct.pack_into("<f", hdr, 116, inter)
+    hdr[344:348] = b"n+1\x00"
+    with gzip.open(path, "wb") as f:
+        f.write(bytes(hdr) + arr_int16.tobytes(order="F"))
+
+
+def test_native_reader_scaled_volumes_stay_float(tmp_path):
+    """scl_slope/scl_inter volumes must come back as floats, not be cast
+    back to the on-disk integer dtype (which would truncate the scaling)."""
+    from glfusion_tpu.data.nifti import read_nifti_py
+    from glfusion_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library not built and no compiler")
+    from glfusion_tpu.native import read_nifti_batch_native, read_nifti_native
+
+    raw = np.arange(-6, 6, dtype=np.int16).reshape(4, 3)
+    p = tmp_path / "scaled.nii.gz"
+    _write_scaled_nifti(p, raw, slope=2.5, inter=0.25)
+    expect = raw.astype(np.float32) * 2.5 + 0.25
+    got = read_nifti_native(p)
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, expect)
+    np.testing.assert_allclose(read_nifti_py(p), expect)
+    (bgot,) = read_nifti_batch_native([p])
+    assert bgot.dtype == np.float32
+    np.testing.assert_allclose(bgot, expect)
 
 
 def test_prefetch_preserves_order_and_raises():
@@ -182,3 +235,23 @@ def test_missing_view_pads_zeros(synth):
     assert batch["images_raw"][0].sum() > 0      # view 1 present
     assert batch["images_raw"][1].sum() == 0     # view 4 → zeros
     assert batch["masks_raw"][1].sum() == 0
+
+
+def test_eval_loader_scores_every_patient(synth):
+    """Eval emits the final short batch so no patient is skipped
+    (train keeps drop-last for static jit shapes)."""
+    from glfusion_tpu.data.pipeline import SegFrameLoader
+
+    cfg, index, train = synth
+    ids = list(index.records)  # tiny synth corpus: 4 patients
+    loader = SegFrameLoader(index, ids, ("1",), cfg, is_train=False)
+    n = len(loader)
+    batch_size = 3  # does not divide n
+    sizes = [b["images_raw"].shape[1]
+             for b in loader.batches(batch_size)]
+    assert sum(sizes) == n          # every patient scored exactly once
+    assert sizes[-1] == n % batch_size or n % batch_size == 0
+
+    tr = SegFrameLoader(index, ids, ("1",), cfg, is_train=True)
+    tr_sizes = [b["images_raw"].shape[1] for b in tr.batches(batch_size)]
+    assert all(s == batch_size for s in tr_sizes)  # train: drop-last

@@ -169,3 +169,54 @@ def test_capture_activations_and_diff():
     acts2[key] = acts2[key] + 1.0
     worst = next(iter(diff_activations(acts, acts2)))
     assert worst == key
+
+
+def test_time_fn_scales_with_iters():
+    """The scan body must carry a loop dependency into fn's inputs: if XLA
+    could hoist the (loop-invariant) call, per-call time would collapse
+    ~1/iters. Assert total time grows roughly linearly with iters."""
+    import jax.numpy as jnp
+    from glfusion_tpu.utils.profiling import time_fn
+
+    x = jnp.ones((384, 384), jnp.float32)
+
+    def fn(a):
+        return a @ a @ a
+
+    t2 = time_fn(fn, x, iters=2) * 2     # total seconds at 2 iters
+    t16 = time_fn(fn, x, iters=16) * 16  # total seconds at 16 iters
+    # perfect linearity gives 8×; elision would give ~1×. Generous bounds
+    # for a busy 1-core box:
+    assert t16 > 3.0 * t2, (t2, t16)
+
+
+def test_initialize_distributed_guards_on_env_only(monkeypatch):
+    """Guard must not touch the XLA backend (jax.distributed.initialize has
+    to run before any backend use) and must no-op for world size <= 1."""
+    from glfusion_tpu.utils import cluster
+
+    calls = []
+    monkeypatch.setattr(
+        "jax.distributed.initialize",
+        lambda **kw: calls.append(kw))
+    monkeypatch.setattr(
+        "jax.process_count",
+        lambda: (_ for _ in ()).throw(AssertionError("backend touched")))
+
+    for var in ("PMI_SIZE", "OMPI_COMM_WORLD_SIZE", "PMI_RANK",
+                "OMPI_COMM_WORLD_RANK"):
+        monkeypatch.delenv(var, raising=False)
+    cluster.initialize_distributed()
+    assert calls == []  # no env vars → single process → no-op
+
+    monkeypatch.setenv("PMI_SIZE", "1")
+    cluster.initialize_distributed()
+    assert calls == []
+
+    monkeypatch.setenv("PMI_SIZE", "4")
+    monkeypatch.setenv("PMI_RANK", "2")
+    cluster.initialize_distributed(port=12345)
+    assert len(calls) == 1
+    assert calls[0]["num_processes"] == 4
+    assert calls[0]["process_id"] == 2
+    assert calls[0]["coordinator_address"].endswith(":12345")

@@ -195,3 +195,29 @@ def test_model17_per_view_tpavi_fusion():
     assert out.shape[0] == 2 and out.shape[-1] == 5
     # per-view backbones → separate param sets
     assert "resnet_0" in v["params"] and "resnet_1" in v["params"]
+
+
+def test_model20_multistage_fusion_is_interleaved():
+    """model20 (reference ours.py:1175-1186): the fused stage-k features
+    must feed stage k+1 — every stage's fusion params receive gradient, and
+    perturbing the stage-1 fusion changes the output mask."""
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.legacy_variants import LegacyMultiviewSeg
+
+    cfg = tiny_config().model
+    m = LegacyMultiviewSeg(cfg, fusion="tpavi", fusion_stages=(1, 2, 3, 4))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 1, 32, 32, 1))
+    v = m.init(jax.random.PRNGKey(0), x, False)
+    for s in (1, 2, 3, 4):
+        assert f"non_local{s}" in v["params"], sorted(v["params"])
+
+    def loss(params):
+        out = m.apply({"params": params,
+                       "batch_stats": v.get("batch_stats", {})},
+                      x, False)
+        return jnp.sum(out["mask"] ** 2)
+
+    grads = jax.grad(loss)(v["params"])
+    for s in (1, 2, 3):  # dead-compute bug: these had zero gradient
+        g = jax.tree_util.tree_leaves(grads[f"non_local{s}"])
+        assert max(float(jnp.abs(x).max()) for x in g) > 0, f"stage {s}"
