@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variant", default="global_and_local",
                    choices=["global_and_local", "global_only", "local_only",
                             "no_fusion", "conv_merge", "fg_bg",
-                            "early_fusion", "late_fusion"])
+                            "early_fusion", "late_fusion", "cps"])
     p.add_argument("--clip-length", type=int, default=40)
     p.add_argument("--no-cycle", action="store_true",
                    help="disable the temporal cycle-consistency loss")

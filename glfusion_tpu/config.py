@@ -124,6 +124,10 @@ class TrainConfig:
     use_cycle: bool = True
     dense_cyc: bool = False
     cycle_weight: float = 1e-2
+    # cross-pseudo-supervision weight for the CPS twin (the reference ships
+    # Global_and_Local_CPS, models/ours.py:3141, without a training path;
+    # 1.0 follows the CPS paper's default trade-off)
+    cps_weight: float = 1.0
     cycle_target_region: int = 16
     cycle_offset: int = 2
     cycle_chunk: int = 3

@@ -120,7 +120,15 @@ def deeplabv3_resnet50_iekd_maxmod(num_classes: int = 5,
 
 
 class MultiFrameSegmenter(nn.Module):
-    """_mltfrm: support-frame attention aggregation (reference _utils.py:55-120)."""
+    """_mltfrm: support-frame attention aggregation (reference _utils.py:55-120).
+
+    ``spatial_attention=True`` selects the ``_mltfrm_spatatt`` body
+    (reference ``_utils.py:121-178``): instead of a token-pair attention
+    matrix, each support frame contributes one SCALAR spatial map —
+    channel-sum of (reference ⊙ support) features, softmax over the whole
+    h·w grid — which reweights the reference features. Same concat → 1×1
+    reduction → classifier tail as the token variant.
+    """
 
     num_classes: int = 5
     stem_width: int = 64
@@ -128,6 +136,7 @@ class MultiFrameSegmenter(nn.Module):
     widths: Sequence[int] = (64, 128, 256, 512)
     aspp_rates: Sequence[int] = (12, 24, 36)
     aspp_channels: int = 256
+    spatial_attention: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, supports: Sequence[jnp.ndarray],
@@ -149,7 +158,16 @@ class MultiFrameSegmenter(nn.Module):
             att = nn.softmax(dot.reshape(b, -1), axis=-1).reshape(dot.shape)
             return jnp.einsum("blc,blk->bkc", ft, att).reshape(b, h, w, c)
 
-        attended = [attend(s) for s in supports]
+        def attend_spatial(sup):
+            # _mltfrm_spatatt (_utils.py:149-163): channel-sum similarity →
+            # softmax over the whole spatial grid → scalar map ⊙ reference
+            fs = backbone(sup, train)                # (B, h, w, C)
+            dot = jnp.sum(f * fs, axis=-1)           # (B, h, w)
+            att = nn.softmax(dot.reshape(b, -1), axis=-1).reshape(b, h, w, 1)
+            return att * f
+
+        attended = [attend_spatial(s) if self.spatial_attention else attend(s)
+                    for s in supports]
         cat = jnp.concatenate([f] + attended, axis=-1)
         red = nn.Conv(c, (1, 1), use_bias=False, name="mlp_red")(cat)
         logits = DeepLabHead(num_outputs=self.num_classes,
@@ -157,3 +175,18 @@ class MultiFrameSegmenter(nn.Module):
                              rates=tuple(self.aspp_rates),
                              name="classifier")(red, train)
         return {"out": resize_bilinear(logits, (hh, ww))}
+
+
+def deeplabv3_resnet50_mltfrm(num_classes: int = 5,
+                              **kw) -> MultiFrameSegmenter:
+    """Reference ctor ``segmentation.py:524`` → ``_utils.py:55`` body."""
+    return MultiFrameSegmenter(num_classes=num_classes, **kw)
+
+
+def deeplabv3_resnet50_mltfrm_spatatt(num_classes: int = 5,
+                                      **kw) -> MultiFrameSegmenter:
+    """The ``_mltfrm_spatatt`` body (reference ``_utils.py:121-178``; the
+    comment at ``_utils.py:56-57`` records it as the original 1303_segmltfrm
+    configuration)."""
+    return MultiFrameSegmenter(num_classes=num_classes,
+                               spatial_attention=True, **kw)

@@ -29,11 +29,20 @@ from glfusion_tpu.train.metrics import confusion_counts
 from glfusion_tpu.train.train_state import TrainState
 
 
-def make_train_step(cfg: Config, model, fuse_preprocess: bool = False):
+def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
+                    cps: bool = False):
     """fuse_preprocess=True: the step takes RAW host batches (images_raw,
     masks_raw, clips) and runs the crop/normalize/remap preprocessing inside
     the same jit — ONE dispatch per step instead of several, which is what
-    dominates wall time on high-latency device transports."""
+    dominates wall time on high-latency device transports.
+
+    cps=True: ``model`` is the two-network ``GlobalAndLocalCPS`` twin
+    (reference ``models/ours.py:3141-3351``). The reference ships the model
+    but no training path (SURVEY.md §2.4); the intent — cross pseudo
+    supervision (Chen et al., CVPR'21) — is implemented here: both networks
+    get the supervised BCE, plus each network's logits are supervised by
+    the OTHER network's thresholded (stop-gradient) predictions, weighted
+    by ``cfg.train.cps_weight``."""
     views = tuple(cfg.model.views)
     test_idx = tuple(views.index(v) for v in cfg.train.test_views
                      if v in views)
@@ -63,6 +72,22 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False):
             for vi in test_idx:
                 seg_loss += bce_with_logits_sum(out["mask"][vi],
                                                 batch["masks"][vi])
+            if cps:
+                # supervised loss on BOTH networks, then cross pseudo
+                # supervision: each net learns the other's hard predictions
+                pseudo1 = jax.lax.stop_gradient(
+                    (out["mask"] > 0.0).astype(batch["masks"].dtype))
+                pseudo2 = jax.lax.stop_gradient(
+                    (out["mask_2"] > 0.0).astype(batch["masks"].dtype))
+                cps_loss = 0.0
+                for vi in test_idx:
+                    seg_loss += bce_with_logits_sum(out["mask_2"][vi],
+                                                    batch["masks"][vi])
+                    cps_loss += bce_with_logits_sum(out["mask"][vi],
+                                                    pseudo2[vi])
+                    cps_loss += bce_with_logits_sum(out["mask_2"][vi],
+                                                    pseudo1[vi])
+                seg_loss += tc.cps_weight * cps_loss
             bstats = upd["batch_stats"]
 
             cyc_loss = jnp.float32(0.0)

@@ -76,7 +76,17 @@ class Trainer:
                                               cfg.model.views, cfg,
                                               seed=cfg.train.seed)
 
-        self.model = GlobalAndLocal(cfg.model)
+        if cfg.model.variant == "cps":
+            # two-network cross-pseudo-supervision twin; the inner nets are
+            # plain Global_and_Local (reference models/ours.py:3141-3351)
+            import dataclasses as _dc
+            from glfusion_tpu.models import GlobalAndLocalCPS
+            inner = _dc.replace(cfg.model, variant="global_and_local")
+            self.model = GlobalAndLocalCPS(inner)
+            self._cps = True
+        else:
+            self.model = GlobalAndLocal(cfg.model)
+            self._cps = False
         self.view_ids = view_ids_tuple(cfg.model.views)
 
         rng = jax.random.PRNGKey(cfg.train.seed)
@@ -95,7 +105,8 @@ class Trainer:
             tx=make_optimizer(cfg, self.steps_per_epoch),
         )
         self.train_step = make_train_step(cfg, self.model,
-                                          fuse_preprocess=True)
+                                          fuse_preprocess=True,
+                                          cps=self._cps)
         self.eval_step = make_eval_step(cfg, self.model)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
 

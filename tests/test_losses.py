@@ -107,3 +107,67 @@ def test_cycle_loss_differentiable():
         f, target_region=8, cyc_off=2, chunk=3, temperature=10.0))(feat)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_cps_train_step_supervises_both_networks():
+    """CPS (reference Global_and_Local_CPS, ours.py:3141): one step must
+    update BOTH networks' params, and the cross-pseudo term must be active
+    (loss differs from the no-CPS twin given identical inputs)."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocalCPS
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, variant="cps"),
+        train=dataclasses.replace(cfg.train, use_cycle=False))
+    inner = dataclasses.replace(cfg.model, variant="global_and_local")
+    model = GlobalAndLocalCPS(inner)
+    hw = cfg.data.crop_hw
+    v = cfg.model.num_views
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (v, 2, hw, hw, 1))
+    masks = (jax.random.uniform(jax.random.fold_in(rng, 1),
+                                (v, 2, hw, hw, 5)) > 0.5).astype(jnp.float32)
+    variables = model.init(rng, imgs, False)
+    # the train step donates its state arg; keep host copies so each state
+    # starts from intact buffers and the originals stay comparable
+    init_params = jax.device_get(variables["params"])
+    init_bstats = jax.device_get(variables.get("batch_stats", {}))
+
+    def fresh(tree):
+        return jax.tree_util.tree_map(jnp.asarray, tree)
+
+    def make_state():
+        return TrainState.create(
+            apply_fn=model.apply, params=fresh(init_params),
+            batch_stats=fresh(init_bstats),
+            tx=make_optimizer(cfg, 10))
+
+    step = make_train_step(cfg, model, cps=True)
+    state2, metrics = step(make_state(), {"images": imgs, "masks": masks},
+                           jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+    def delta(tree_a, tree_b):
+        return max(float(jnp.abs(a - b).max()) for a, b in zip(
+            jax.tree_util.tree_leaves(tree_a),
+            jax.tree_util.tree_leaves(tree_b)))
+
+    assert delta(state2.params["net1"], init_params["net1"]) > 0
+    assert delta(state2.params["net2"], init_params["net2"]) > 0
+
+    # the CPS term contributes: zeroing cps_weight changes the loss
+    cfg0 = dataclasses.replace(
+        cfg, train=dataclasses.replace(cfg.train, cps_weight=0.0))
+    step0 = make_train_step(cfg0, model, cps=True)
+    _, m0 = step0(make_state(), {"images": imgs, "masks": masks},
+                  jax.random.PRNGKey(2))
+    assert float(m0["seg_loss"]) != float(metrics["seg_loss"])

