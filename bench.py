@@ -70,18 +70,101 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     return frames / dt
 
 
+def run_train(batch: int, iters: int, dtype: str = "bfloat16",
+              clip_length: int = 40):
+    """Seconds per full train step (reference recipe: batch 8 supervised
+    multi-view frames + one 40-frame cycle clip per view, fused device
+    preprocessing, Adam). Steps are chained through the TrainState inside
+    one jitted scan — the state dependency forbids elision/overlap."""
+    import dataclasses
+
+    import numpy as np
+
+    from glfusion_tpu.config import Config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, dtype=dtype),
+        data=dataclasses.replace(cfg.data, clip_length=clip_length),
+        train=dataclasses.replace(cfg.train, batch_size=batch))
+    model = GlobalAndLocal(cfg.model)
+    v = cfg.model.num_views
+    r, c = cfg.data.resize_hw, cfg.data.crop_hw
+    rs = np.random.RandomState(0)
+    batch_arrays = {
+        "images_raw": jnp.asarray(rs.rand(v, batch, r, r) * 255,
+                                  jnp.float32),
+        "masks_raw": jnp.asarray(
+            rs.randint(0, 3, (v, batch, r, r)), jnp.int32),
+        "clips": jnp.asarray(rs.rand(v, clip_length, c, c, 1) * 255,
+                             jnp.float32),
+    }
+    rng = jax.random.PRNGKey(0)
+    sample = jnp.zeros((v, 1, c, c, 1), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, sample, False))(rng)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 100))
+    step = make_train_step(cfg, model, fuse_preprocess=True)
+
+    @jax.jit
+    def chained(state, batch, rng):
+        def body(carry, i):
+            st, _ = step(carry, batch, jax.random.fold_in(rng, i))
+            return st, None
+        state, _ = jax.lax.scan(body, state, jnp.arange(iters))
+        return state.step
+
+    int(chained(state, batch_arrays, rng))  # compile + warm
+    t0 = time.perf_counter()
+    int(chained(state, batch_arrays, rng))
+    dt = (time.perf_counter() - t0) / iters
+
+    # FLOPs of one step from XLA cost analysis (fwd+bwd+optimizer)
+    flops = None
+    try:
+        compiled = jax.jit(
+            lambda s, b, k: step(s, b, k)[0].step).lower(
+                state, batch_arrays, rng).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        flops = float(ca.get("flops")) if ca else None
+    except Exception:
+        pass
+    return dt, flops
+
+
+V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
+
+
 def main() -> None:
     platform = jax.devices()[0].platform
     if platform == "cpu":
         fps = run(batch=2, iters=2)
+        train_s, train_flops = run_train(batch=1, iters=1, clip_length=4)
     else:
         fps = run(batch=BATCH_FRAMES, iters=ITERS)
-    print(json.dumps({
+        train_s, train_flops = run_train(batch=8, iters=10)
+    rec = {
         "metric": "multiview_inference_throughput",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
-    }))
+        "train_step_s": round(train_s, 4),
+    }
+    if train_flops:
+        tflops = train_flops / train_s / 1e12
+        rec["train_tflops_per_s"] = round(tflops, 1)
+        if platform != "cpu":
+            rec["train_mfu_pct"] = round(
+                100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -20,8 +20,12 @@ def build_parser() -> argparse.ArgumentParser:
         prog="glfusion_tpu",
         description="GL-Fusion multi-view echocardiogram segmentation (TPU)")
     p.add_argument("--mode",
-               choices=["train", "val", "visual", "infer"],
-                   default="train", help="reference main.py:896-898")
+                   choices=["train", "val", "visual", "infer",
+                            "reg-train", "reg-val"],
+                   default="train",
+                   help="reference main.py:896-898; reg-* drive the mPAP "
+                        "video-regression path (reference PAHDataset + "
+                        "Resnet50PAH, which its entry point never wires)")
     p.add_argument("--data-root", default=None,
                    help="dataset root containing infos/, data_list/, .nii.gz;"
                         " omit to run on synthetic data")
@@ -31,6 +35,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--views", default="1,3,4",
                    help="comma-separated view ids (reference main.py:918)")
+    p.add_argument("--model", default="glfusion",
+                   choices=["glfusion", "unet", "multiview_unet", "utnet",
+                            "cen"],
+                   help="trainable architecture (models/registry.py); the "
+                        "reference can only train Global_and_Local")
+    p.add_argument("--reg-model", default="resnet50pah",
+                   choices=["resnet50pah", "r2plus1d", "timesformer"],
+                   help="regression architecture for --mode reg-*")
+    p.add_argument("--label-type", default="mPAP", choices=["mPAP", "Vmax"],
+                   help="regression target column (reference loader.py:140)")
     p.add_argument("--variant", default="global_and_local",
                    choices=["global_and_local", "global_only", "local_only",
                             "no_fusion", "conv_merge", "fg_bg",
@@ -94,7 +108,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
-            cfg.model, views=views, variant=args.variant,
+            cfg.model, views=views, variant=args.variant, arch=args.model,
             dtype=(args.dtype or cfg.model.dtype),
             remat=args.remat or cfg.model.remat),
         data=dataclasses.replace(cfg.data, root=args.data_root,
@@ -128,6 +142,49 @@ def config_from_args(args: argparse.Namespace) -> Config:
     return cfg
 
 
+def _run_regression(args, cfg, data_paths) -> int:
+    """--mode reg-train / reg-val: the mPAP video-regression path."""
+    import json
+
+    from glfusion_tpu.models.registry import build_reg_model
+    from glfusion_tpu.train.regression import RegressionTrainer
+
+    if data_paths is None:
+        import tempfile
+        from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+        tmp = tempfile.mkdtemp(prefix="glfusion_synth_")
+        data_paths = generate_synthetic_dataset(
+            tmp, cfg.data, views=cfg.model.views, seed=cfg.train.seed)
+        print(f"[glfusion] synthetic dataset generated under {tmp}",
+              flush=True)
+
+    # --tiny: miniature topologies for smoke runs (mirrors tiny_config)
+    tiny_kw = {
+        "resnet50pah": dict(depth=10),
+        "r2plus1d": dict(layers=(1, 1, 1, 1), widths=(8, 16, 32, 64)),
+        "timesformer": dict(dim=32, depth=1, heads=2, dim_head=16,
+                            patch_size=8),
+    }
+    overrides = tiny_kw[args.reg_model] if args.tiny else {}
+    model, adapter = build_reg_model(args.reg_model, cfg.model.num_views,
+                                     **overrides)
+    trainer = RegressionTrainer(cfg, model, data_paths,
+                                label_type=args.label_type,
+                                input_adapter=adapter)
+    if args.mode == "reg-train":
+        for epoch in range(cfg.train.num_epochs):
+            m = trainer.train_epoch(epoch)
+            print(f"[glfusion] reg epoch {epoch}: loss={m['loss']:.4f} "
+                  f"({m['steps']} steps)", flush=True)
+    import math
+    metrics = trainer.evaluate()
+    # strict JSON: r2 is undefined (±inf) for a single-sample val split
+    metrics = {k: (v if isinstance(v, (int, float)) and math.isfinite(v)
+                   else None) for k, v in metrics.items()}
+    print(json.dumps({"label": args.label_type, **metrics}))
+    return 0
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     if args.platform is not None:
@@ -137,8 +194,6 @@ def main(argv=None) -> int:
         from glfusion_tpu.utils.profiling import debug_nans
         debug_nans(True)
     cfg = config_from_args(args)
-
-    from glfusion_tpu.train.trainer import Trainer
 
     data_paths = None
     if args.data_root is not None:
@@ -155,6 +210,11 @@ def main(argv=None) -> int:
             raise SystemExit(
                 "error: --data-root is missing required entries "
                 f"(reference on-disk contract):\n  " + "\n  ".join(missing))
+
+    if args.mode in ("reg-train", "reg-val"):
+        return _run_regression(args, cfg, data_paths)
+
+    from glfusion_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg, data_paths=data_paths)
     if args.resume or args.mode in ("val", "visual", "infer"):

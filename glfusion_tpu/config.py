@@ -57,6 +57,9 @@ class ModelConfig:
     # Global_only :1999, Local_only :2113, conv_merge :2766, cyc_nofusion :2628,
     # early_fusion :2251, late_fusion :2317, fg_bg :2887).
     variant: str = "global_and_local"
+    # Trainable architecture family (models/registry.py): the flagship or a
+    # baseline from the zoo adapted to the same multi-view contract.
+    arch: str = "glfusion"  # glfusion|unet|multiview_unet|utnet|cen
     # Compute dtype for conv/matmul (params stay fp32).
     dtype: str = "float32"
     # Use the fused Pallas non-local attention kernel (naive contraction
@@ -169,6 +172,7 @@ def tiny_config(views: Sequence[str] = ("1", "3", "4")) -> Config:
             resize_hw=40,
             crop_hw=32,
             clip_length=8,
+            reg_clip_frames=8,
             synthetic_num_patients=4,
             synthetic_raw_hw=48,
             synthetic_num_frames=12,

@@ -249,6 +249,9 @@ class UTNet(nn.Module):
     reduce_size: int = 8
     rel_pos: bool = True
     decoder_attn: bool = True  # False → UTNet_Encoderonly (reference :105)
+    # also return the deepest encoder feature map (the bottleneck) so
+    # assemblies/trainers can reuse it (e.g. cycle features)
+    return_features: bool = False
 
     def _stage_cfg(self, stage: int):
         """Map encoder stage 1..4 to (is_trans, num_attn, heads).
@@ -317,4 +320,5 @@ class UTNet(nn.Module):
                 out = PreActBasicBlock(widths[s - 1],
                                        name=f"up{s}_conv2")(out, train)
 
-        return nn.Conv(self.num_classes, (1, 1), name="outc")(out)
+        out = nn.Conv(self.num_classes, (1, 1), name="outc")(out)
+        return (out, feats[4]) if self.return_features else out

@@ -68,10 +68,12 @@ class RegressionTrainer:
     reference's metric module intends."""
 
     def __init__(self, cfg: Config, model, data_paths: Dict[str, str],
-                 label_type: str = "mPAP", verbose: bool = True):
+                 label_type: str = "mPAP", verbose: bool = True,
+                 input_adapter=None):
         self.cfg = cfg
         self.model = model
         self.verbose = verbose
+        self._input_adapter = input_adapter
         self.mesh = make_mesh(data=cfg.train.mesh_data,
                               model=cfg.train.mesh_model)
 
@@ -106,8 +108,11 @@ class RegressionTrainer:
         """(V, B, H, W, T) device clips → the model's input convention.
 
         Default: video regressors take (B, T, H, W, C=V-merged) — we fold
-        views into channels-last frames (B, T, H, W, V).
+        views into channels-last frames (B, T, H, W, V). Architectures with
+        a different convention pass ``input_adapter`` (models/registry.py).
         """
+        if self._input_adapter is not None:
+            return self._input_adapter(clips)
         return jnp.transpose(clips, (1, 4, 2, 3, 0))
 
     def train_epoch(self, epoch: int = 0) -> Dict[str, float]:

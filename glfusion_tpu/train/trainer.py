@@ -27,7 +27,6 @@ from glfusion_tpu.data.pipeline import (
     TestClipLoader,
     view_ids_tuple,
 )
-from glfusion_tpu.models import GlobalAndLocal
 from glfusion_tpu.parallel import make_mesh, shard_batch, shard_variables
 from glfusion_tpu.train.metrics import overlap_metrics
 from glfusion_tpu.train.step import make_eval_step, make_train_step
@@ -76,17 +75,8 @@ class Trainer:
                                               cfg.model.views, cfg,
                                               seed=cfg.train.seed)
 
-        if cfg.model.variant == "cps":
-            # two-network cross-pseudo-supervision twin; the inner nets are
-            # plain Global_and_Local (reference models/ours.py:3141-3351)
-            import dataclasses as _dc
-            from glfusion_tpu.models import GlobalAndLocalCPS
-            inner = _dc.replace(cfg.model, variant="global_and_local")
-            self.model = GlobalAndLocalCPS(inner)
-            self._cps = True
-        else:
-            self.model = GlobalAndLocal(cfg.model)
-            self._cps = False
+        from glfusion_tpu.models.registry import build_seg_model
+        self.model, self._cps = build_seg_model(cfg.model)
         self.view_ids = view_ids_tuple(cfg.model.views)
 
         rng = jax.random.PRNGKey(cfg.train.seed)

@@ -220,3 +220,48 @@ def test_initialize_distributed_guards_on_env_only(monkeypatch):
     assert calls[0]["num_processes"] == 4
     assert calls[0]["process_id"] == 2
     assert calls[0]["coordinator_address"].endswith(":12345")
+
+
+def test_two_process_distributed_bringup(tmp_path):
+    """Real 2-process jax.distributed bring-up through
+    initialize_distributed (the multi-host wiring the reference computed
+    but never used): both processes must see process_count()==2 and
+    allgather each other's rank."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:  # free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    script = f"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+from glfusion_tpu.utils.cluster import initialize_distributed
+initialize_distributed(port={port})
+assert jax.process_count() == 2, jax.process_count()
+import jax.numpy as jnp
+from jax.experimental import multihost_utils
+ranks = multihost_utils.process_allgather(
+    jnp.float32(jax.process_index()))
+assert sorted(float(x) for x in ranks) == [0.0, 1.0], ranks
+print("DISTOK", jax.process_index(), flush=True)
+"""
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ,
+                   PMI_SIZE="2", PMI_RANK=str(rank),
+                   JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)  # no virtual 8-device split here
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script], env=env, cwd="/root/repo",
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (rc, out, err[-2000:])
+        assert "DISTOK" in out

@@ -221,3 +221,40 @@ def test_model20_multistage_fusion_is_interleaved():
     for s in (1, 2, 3):  # dead-compute bug: these had zero gradient
         g = jax.tree_util.tree_leaves(grads[f"non_local{s}"])
         assert max(float(jnp.abs(x).max()) for x in g) > 0, f"stage {s}"
+
+
+@pytest.mark.parametrize("arch", ["unet", "multiview_unet", "utnet", "cen"])
+def test_registry_seg_adapters_meet_trainer_contract(arch):
+    """Every --model choice must present the Trainer contract:
+    (V,B,H,W,1) → mask (V,B,H,W,5) + cycle features."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.registry import build_seg_model
+
+    mcfg = dataclasses.replace(tiny_config().model, arch=arch)
+    model, cps = build_seg_model(mcfg)
+    assert not cps
+    x = jnp.zeros((3, 1, 32, 32, 1))
+    v = model.init(jax.random.PRNGKey(0), x, False)
+    out = model.apply(v, x, False)
+    assert out["mask"].shape == (3, 1, 32, 32, 5)
+    assert out["f4_global"].shape[0] == 3  # per-view cycle features
+
+
+def test_registry_reg_models_forward():
+    from glfusion_tpu.models.registry import build_reg_model
+
+    clips = jnp.zeros((2, 1, 32, 32, 8))  # (V, B, H, W, T)
+    for name, kw in [
+        ("resnet50pah", dict(depth=10)),
+        ("r2plus1d", dict(layers=(1, 1, 1, 1), widths=(4, 8, 8, 8))),
+        ("timesformer", dict(dim=16, depth=1, heads=2, dim_head=8,
+                             patch_size=8)),
+    ]:
+        model, adapter = build_reg_model(name, 2, **kw)
+        x = adapter(clips)
+        v = model.init(jax.random.PRNGKey(0), x, False)
+        out = model.apply(v, x, False)
+        pred = out[0] if isinstance(out, tuple) else out
+        assert pred.shape == (1, 1), (name, pred.shape)
