@@ -112,29 +112,44 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         tx=make_optimizer(cfg, 100))
     step = make_train_step(cfg, model, fuse_preprocess=True)
 
-    @jax.jit
-    def chained(state, batch, rng):
+    def chained_fn(state, batch, rng):
         def body(carry, i):
-            st, _ = step(carry, batch, jax.random.fold_in(rng, i))
-            return st, None
-        state, _ = jax.lax.scan(body, state, jnp.arange(iters))
-        return state.step
+            st, m = step(carry, batch, jax.random.fold_in(rng, i))
+            return st, m["loss"]
 
-    int(chained(state, batch_arrays, rng))  # compile + warm
+        state, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        # reduce over EVERY updated param leaf: nothing in fwd/bwd/optimizer
+        # is dead code, so XLA cannot elide any part of the step
+        tot = jnp.sum(losses)
+        for leaf in jax.tree_util.tree_leaves(state.params):
+            tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+        return tot
+
+    compiled = jax.jit(chained_fn).lower(
+        state, batch_arrays, rng).compile()
+    float(compiled(state, batch_arrays, rng))  # warm
     t0 = time.perf_counter()
-    int(chained(state, batch_arrays, rng))
+    float(compiled(state, batch_arrays, rng))
     dt = (time.perf_counter() - t0) / iters
 
-    # FLOPs of one step from XLA cost analysis (fwd+bwd+optimizer)
+    # FLOPs per step from a SINGLE-step compile: XLA's cost analysis counts
+    # a scan body once regardless of trip count, so the chained graph would
+    # under-report by ~iters×.
     flops = None
     try:
-        compiled = jax.jit(
-            lambda s, b, k: step(s, b, k)[0].step).lower(
-                state, batch_arrays, rng).compile()
-        ca = compiled.cost_analysis()
+        def one_step(state, batch, rng):
+            st, m = step(state, batch, rng)
+            tot = m["loss"]
+            for leaf in jax.tree_util.tree_leaves(st.params):
+                tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+            return tot
+
+        ca = jax.jit(one_step).lower(
+            state, batch_arrays, rng).compile().cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        flops = float(ca.get("flops")) if ca else None
+        if ca and ca.get("flops"):
+            flops = float(ca["flops"])
     except Exception:
         pass
     return dt, flops

@@ -143,10 +143,12 @@ class GlobalAndLocal(nn.Module):
         f4_global_fusion = None
         f4_local_fusion = None
         atten = None
+        cls_f4 = None  # classifier(f4) logits, reusable for mask_bb in eval
 
         if use_local:
             # M_cls: classifier at f4 resolution, sigmoid, max over classes.
-            m_cls = nn.sigmoid(classifier(f4, train))
+            cls_f4 = classifier(f4, train)
+            m_cls = nn.sigmoid(cls_f4)
             m_cls = jnp.max(m_cls, axis=-1, keepdims=True)  # (V,B,h,w,1)
             # M_ctr
             m_ctr = nn.sigmoid(centerness(f4, train))  # (V,B,h,w,1)
@@ -185,7 +187,14 @@ class GlobalAndLocal(nn.Module):
             mask = _per_view(PointwiseConv)(features=cfg.num_classes,
                                             name="late_mix")(cat, train)
         mask = resize_bilinear(mask, (hh, ww))
-        mask_bb = classifier(f4, train)
+        # In eval mode classifier(f4) was already computed for M_cls (BN
+        # frozen, dropout off → bit-identical); reuse it and save a full
+        # ASPP-head pass per view. Train mode keeps the reference's two
+        # calls (independent dropout draws + two BN stat updates).
+        if cls_f4 is not None and not train:
+            mask_bb = cls_f4
+        else:
+            mask_bb = classifier(f4, train)
         mask_bb = resize_bilinear(mask_bb, (hh, ww))
 
         if f4_global_fusion is None:

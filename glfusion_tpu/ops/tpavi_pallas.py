@@ -70,8 +70,9 @@ def _kernel(theta_ref, phi_ref, g_ref, out_ref, acc_ref, *, n_true: int,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def fused_dot_nonlocal(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
-                       interpret: bool = False) -> jnp.ndarray:
+def _fused_dot_nonlocal_fwd_impl(theta: jnp.ndarray, phi: jnp.ndarray,
+                                 g: jnp.ndarray,
+                                 interpret: bool = False) -> jnp.ndarray:
     """y[b] = (theta[b] @ phi[b]^T / N) @ g[b] for (B, N, C') operands."""
     b, n, c = theta.shape
     c_pad = _round_up(c, 128)
@@ -112,3 +113,40 @@ def fused_dot_nonlocal(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
         interpret=interpret,
     )(theta_p, phi_p, g_p)
     return out[:, :n, :c]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_dot_nonlocal(theta: jnp.ndarray, phi: jnp.ndarray, g: jnp.ndarray,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Pallas forward + analytic backward, so the kernel is trainable.
+
+    The backward of y = (θφᵀ/N)g reassociates every term into (C', C')
+    intermediates — no N² map is ever materialized:
+        dθ = dy (gᵀφ) / N,  dφ = g (dyᵀθ) / N,  dg = φ (θᵀdy) / N.
+    Exact in real arithmetic; float summation order differs from the naive
+    chain the same way the default reassoc forward does.
+    """
+    return _fused_dot_nonlocal_fwd_impl(theta, phi, g, interpret)
+
+
+def _fdn_fwd(theta, phi, g, interpret):
+    return (_fused_dot_nonlocal_fwd_impl(theta, phi, g, interpret),
+            (theta, phi, g))
+
+
+def _fdn_bwd(interpret, res, dy):
+    theta, phi, g = res
+    n = theta.shape[-2]
+    f32 = jnp.float32
+    gtp = jnp.einsum("bjd,bjc->bdc", g, phi, preferred_element_type=f32)
+    dtheta = jnp.einsum("bid,bdc->bic", dy, gtp,
+                        preferred_element_type=f32) / n
+    dyt = jnp.einsum("bid,bic->bdc", dy, theta, preferred_element_type=f32)
+    dphi = jnp.einsum("bjd,bdc->bjc", g, dyt, preferred_element_type=f32) / n
+    tdy = jnp.einsum("bic,bid->bcd", theta, dy, preferred_element_type=f32)
+    dg = jnp.einsum("bjc,bcd->bjd", phi, tdy, preferred_element_type=f32) / n
+    return (dtheta.astype(theta.dtype), dphi.astype(phi.dtype),
+            dg.astype(g.dtype))
+
+
+fused_dot_nonlocal.defvjp(_fdn_fwd, _fdn_bwd)

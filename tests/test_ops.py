@@ -222,3 +222,32 @@ def test_aspp_fused_centers_matches_full_convs():
     expected = jax.nn.relu(bn_eval(proj, "project_bn"))
     np.testing.assert_allclose(np.asarray(y_fused), np.asarray(expected),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_fused_nonlocal_gradients():
+    """The custom_vjp backward (reassociated C'xC' contractions) must match
+    autodiff through the naive einsum chain — this is what makes
+    use_pallas_fusion trainable."""
+    import jax
+
+    from glfusion_tpu.ops.nonlocal_attn import dot_nonlocal_attention
+    from glfusion_tpu.ops.tpavi_pallas import fused_dot_nonlocal
+
+    rs = np.random.RandomState(3)
+    b, n, c = 2, 48, 16
+    theta, phi, g = (jnp.asarray(rs.randn(b, n, c), jnp.float32)
+                     for _ in range(3))
+
+    def loss_pallas(t, p, gg):
+        y = fused_dot_nonlocal(t, p, gg, True)  # interpret mode on CPU
+        return jnp.sum(jnp.sin(y))
+
+    def loss_naive(t, p, gg):
+        y = dot_nonlocal_attention(t, p, gg, impl="naive")
+        return jnp.sum(jnp.sin(y))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2))(theta, phi, g)
+    gn = jax.grad(loss_naive, argnums=(0, 1, 2))(theta, phi, g)
+    for a, b_ in zip(gp, gn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
