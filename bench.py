@@ -71,7 +71,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
 
 
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
-              clip_length: int = 40):
+              clip_length: int = 40, cycle_light: bool = False):
     """Seconds per full train step (reference recipe: batch 8 supervised
     multi-view frames + one 40-frame cycle clip per view, fused device
     preprocessing, Adam). Steps are chained through the TrainState inside
@@ -90,7 +90,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         cfg,
         model=dataclasses.replace(cfg.model, dtype=dtype),
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
-        train=dataclasses.replace(cfg.train, batch_size=batch))
+        train=dataclasses.replace(cfg.train, batch_size=batch,
+                                  cycle_light=cycle_light))
     model = GlobalAndLocal(cfg.model)
     v = cfg.model.num_views
     r, c = cfg.data.resize_hw, cfg.data.crop_hw
@@ -163,9 +164,11 @@ def main() -> None:
     if platform == "cpu":
         fps = run(batch=2, iters=2)
         train_s, train_flops = run_train(batch=1, iters=1, clip_length=4)
+        light_s = None
     else:
         fps = run(batch=BATCH_FRAMES, iters=ITERS)
         train_s, train_flops = run_train(batch=8, iters=10)
+        light_s, _ = run_train(batch=8, iters=10, cycle_light=True)
     rec = {
         "metric": "multiview_inference_throughput",
         "value": round(fps, 2),
@@ -173,6 +176,8 @@ def main() -> None:
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
         "train_step_s": round(train_s, 4),
     }
+    if light_s is not None:
+        rec["train_step_light_s"] = round(light_s, 4)
     if train_flops:
         tflops = train_flops / train_s / 1e12
         rec["train_tflops_per_s"] = round(tflops, 1)

@@ -28,15 +28,15 @@ from glfusion_tpu.data.infos import PatientIndex
 from glfusion_tpu.data.nifti import read_nifti
 from glfusion_tpu.ops.crops import center_crop
 from glfusion_tpu.ops.masks import mask_to_allclass
-from glfusion_tpu.ops.resize import _nearest_indices
+from glfusion_tpu.ops.resize import _nearest_indices_np
 
 
 # ---------------------------------------------------------------- host side
 
 def _resize_nearest_np(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     """(H, W[, ...]) nearest resize on host, same index rule as device op."""
-    hi = np.asarray(_nearest_indices(out_hw[0], x.shape[0]))
-    wi = np.asarray(_nearest_indices(out_hw[1], x.shape[1]))
+    hi = _nearest_indices_np(out_hw[0], x.shape[0])
+    wi = _nearest_indices_np(out_hw[1], x.shape[1])
     return x[hi][:, wi]
 
 
@@ -73,25 +73,31 @@ class SegFrameLoader:
 
     def __init__(self, index: PatientIndex, ids: Sequence[str],
                  views: Sequence[str], cfg: Config, is_train: bool,
-                 seed: int = 0, cache_items: int = 256):
+                 seed: int = 0, cache_bytes: int = 4 << 30):
         self.index = index
         self.ids = [i for i in ids if i in index.records]
         self.views = tuple(views)
         self.cfg = cfg
         self.is_train = is_train
         self.seed = seed
-        # LRU of PRE-RESIZED videos in their on-disk dtype. Caching raw
-        # decoded volumes does not scale: the real corpus's 800×600×~127
-        # videos are ~240 MB each as f32 (hundreds of GB across 178×3
-        # views); a resized 144² uint8/int16 video is ~2-5 MB.
+        # LRU of PRE-RESIZED videos in their on-disk dtype, bounded by BYTES
+        # (an item bound thrashes: the real corpus is 178×3 = 534 entries
+        # at ~2-5 MB each, so a 256-item cap re-decodes every epoch).
+        # Caching raw decoded volumes instead would not scale: the corpus's
+        # 800×600×~127 videos are ~240 MB each as f32.
         import collections
         self._cache: "collections.OrderedDict[tuple, tuple]" = (
             collections.OrderedDict())
-        self._cache_items = cache_items
+        self._cache_bytes = cache_bytes
+        self._cache_used = 0
 
     def __len__(self) -> int:
         n = len(self.ids)
         return n * self.cfg.data.train_repeat if self.is_train else n
+
+    @staticmethod
+    def _entry_bytes(entry) -> int:
+        return sum(a.nbytes for a in entry if a is not None)
 
     def _make_entry(self, img: np.ndarray, lab: np.ndarray):
         r = self.cfg.data.resize_hw
@@ -107,9 +113,13 @@ class SegFrameLoader:
                 _resize_nearest_np(lab, (r, r)), labeled)
 
     def _put(self, key, entry):
+        if key in self._cache:
+            self._cache_used -= self._entry_bytes(self._cache.pop(key))
         self._cache[key] = entry
-        if len(self._cache) > self._cache_items:
-            self._cache.popitem(last=False)
+        self._cache_used += self._entry_bytes(entry)
+        while self._cache_used > self._cache_bytes and len(self._cache) > 1:
+            _, old = self._cache.popitem(last=False)
+            self._cache_used -= self._entry_bytes(old)
 
     def _prefill(self, keys) -> None:
         """Decode a batch's uncached files in one parallel native read."""
@@ -320,9 +330,9 @@ class RegressionClipLoader:
             else:
                 vol = np.asarray(read_nifti(img_p), np.float32).squeeze()
                 # nearest resize H, W → r and T → t (MONAI Resized semantics)
-                hi = np.asarray(_nearest_indices(r, vol.shape[0]))
-                wi = np.asarray(_nearest_indices(r, vol.shape[1]))
-                ti = np.asarray(_nearest_indices(t, vol.shape[2]))
+                hi = _nearest_indices_np(r, vol.shape[0])
+                wi = _nearest_indices_np(r, vol.shape[1])
+                ti = _nearest_indices_np(t, vol.shape[2])
                 self._cache[key] = vol[hi][:, wi][:, :, ti]
         return self._cache[key]
 

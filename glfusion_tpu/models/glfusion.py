@@ -70,12 +70,22 @@ class GlobalAndLocal(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
-                 is_video: bool = False) -> Dict[str, Any]:
+                 is_video: bool = False,
+                 features_only: bool = False) -> Dict[str, Any]:
         """x: (V, B, H, W, 1) stacked views → dict of stacked outputs.
 
         is_video: treat B as T frames of one clip and fold it into the
         attention token axis (Global_and_Local_Temporal intent,
         reference ``models/ours.py:1959-1980``).
+
+        features_only: compute ONLY f4_global (the cycle-loss features) —
+        backbone + global attention, skipping the classifier/centerness/
+        local/mask tail whose outputs the cycle pass discards. ~3/4 of the
+        reference train step is the 120-frame cycle forward, so this is the
+        TPU-first fast path (cfg.train.cycle_light); the only semantic
+        difference from the reference is that the skipped heads' BN running
+        stats don't update on cycle frames. Unsupported for the fg_bg
+        variant (its global branch needs the head-derived atten map).
         """
         cfg = self.cfg
         v, b, hh, ww, _ = x.shape
@@ -134,6 +144,15 @@ class GlobalAndLocal(nn.Module):
             else:
                 y = attn(y, train)
             return jnp.swapaxes(y, 0, 1)
+
+        if features_only:
+            if variant == "fg_bg":
+                raise ValueError(
+                    "features_only is unsupported for fg_bg (atten needed)")
+            use_g = variant in ("global_and_local", "global_only",
+                                "conv_merge")
+            feat = attend(f4, "global_attn") if use_g else f4
+            return {"f4_global": feat}
 
         use_global = variant in ("global_and_local", "global_only",
                                  "conv_merge", "fg_bg")

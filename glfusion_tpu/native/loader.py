@@ -33,7 +33,7 @@ def _load() -> Optional[ctypes.CDLL]:
     try:
         lib = ctypes.CDLL(str(SO_PATH))
         # stale .so from an older source revision: rebuild once
-        if not hasattr(lib, "gl_nifti_query_v2"):
+        if not hasattr(lib, "gl_nifti_read_raw"):
             del lib
             if not build(verbose=False):
                 return None
@@ -45,6 +45,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float)]
     lib.gl_nifti_query_v2.restype = ctypes.c_int
+    lib.gl_nifti_read_raw.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+    lib.gl_nifti_read_raw.restype = ctypes.c_int
+    lib.gl_nifti_read_many_raw.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int]
+    lib.gl_nifti_read_many_raw.restype = ctypes.c_int
     lib.gl_nifti_read_f32.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64]
     lib.gl_nifti_read_f32.restype = ctypes.c_int
@@ -95,37 +103,38 @@ def _scaled(slope: float, inter: float) -> bool:
     return slope not in (0.0, 1.0) or inter != 0.0
 
 
-def _out_dtype(dtype_code: int, slope: float, inter: float):
-    """On-disk dtype if the f32 decode is exact and unscaled, float32 if
-    scaling was applied, None if the file must go to the Python reader."""
-    if _scaled(slope, inter):
-        # the decode core applied slope/inter → values are floats; casting
-        # back to the integer on-disk dtype would truncate them
-        return np.float32 if dtype_code in _F32_EXACT else None
-    return _F32_EXACT.get(dtype_code)
-
-
 def read_nifti_native(path: str | Path) -> np.ndarray:
     """Single-volume read, matching ``read_nifti_py``'s dtype semantics:
-    unscaled volumes keep their on-disk dtype; scl_slope/scl_inter-scaled
-    volumes come back as float32 (the Python reader returns scaled floats).
-    float64 and 32-bit-integer volumes can't round-trip exactly through the
-    f32 decode core → routed to the Python reader."""
+    unscaled volumes keep their on-disk dtype (raw byte copy — exact for
+    EVERY dtype, no f32 round trip); scl_slope/scl_inter-scaled volumes
+    come back as float32 via the converting core. Scaled 32-bit-int/f64
+    volumes and big-endian files route to the exact Python reader."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
     shape, numel, dtype_code, slope, inter = _query(lib, path)
-    np_dtype = _out_dtype(dtype_code, slope, inter)
+    np_dtype = _NIFTI_DTYPES.get(dtype_code)
     if np_dtype is None:
         raise IOError(f"dtype {dtype_code} routed to python reader")
+    if not _scaled(slope, inter):
+        itemsize = np.dtype(np_dtype).itemsize
+        out = np.empty(numel * itemsize, np.uint8)
+        rc = lib.gl_nifti_read_raw(
+            str(path).encode(),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            numel * itemsize)
+        if rc != 0:  # 5 = big-endian → python reader byte-swaps
+            raise IOError(f"native raw read failed ({rc}): {path}")
+        return out.view(np_dtype).reshape(shape, order="F")
+    if np_dtype not in _F32_EXACT.values():
+        raise IOError(f"scaled dtype {dtype_code} routed to python reader")
     out = np.empty(numel, np.float32)
     rc = lib.gl_nifti_read_f32(
         str(path).encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         numel)
     if rc != 0:
         raise IOError(f"native nifti read failed ({rc}): {path}")
-    arr = out.reshape(shape, order="F")
-    return arr if np_dtype == np.float32 else arr.astype(np_dtype)
+    return out.reshape(shape, order="F")
 
 
 def read_nifti_batch_native(paths: Sequence[str | Path],
@@ -133,34 +142,59 @@ def read_nifti_batch_native(paths: Sequence[str | Path],
     """Parallel batch read (C++ thread pool).
 
     Each volume comes back with the same dtype ``read_nifti_native`` would
-    give it (on-disk dtype when exact, float32 when header-scaled); raises
-    if any file needs the Python reader so callers fall back per-file."""
+    give it (on-disk dtype when unscaled — raw byte copies, exact for every
+    dtype; float32 when header-scaled); raises if any file needs the Python
+    reader (scaled non-f32-exact dtypes, big-endian) so callers fall back
+    per-file."""
     lib = _load()
     if lib is None:
         raise RuntimeError("native library unavailable")
-    shapes, numels, offsets, dtypes = [], [], [], []
-    total = 0
-    for p in paths:
-        shape, numel, dtype_code, slope, inter = _query(lib, p)
-        np_dtype = _out_dtype(dtype_code, slope, inter)
-        if np_dtype is None:
-            raise IOError(f"dtype {dtype_code} routed to python reader: {p}")
-        shapes.append(shape)
-        numels.append(numel)
-        offsets.append(total)
-        dtypes.append(np_dtype)
-        total += numel
-    flat = np.empty(total, np.float32)
+    metas = [_query(lib, p) for p in paths]
+    scaled = [_scaled(slope, inter) for _, _, _, slope, inter in metas]
+    dtypes = []
+    for (_, _, code, slope, inter), sc in zip(metas, scaled):
+        np_dtype = _NIFTI_DTYPES.get(code)
+        if np_dtype is None or (
+                sc and np_dtype not in _F32_EXACT.values()):
+            raise IOError(f"dtype {code} routed to python reader")
+        dtypes.append(np.float32 if sc else np_dtype)
     c_paths = (ctypes.c_char_p * len(paths))(
         *[str(p).encode() for p in paths])
-    c_off = (ctypes.c_int64 * len(paths))(*offsets)
-    c_num = (ctypes.c_int64 * len(paths))(*numels)
+
+    if not any(scaled):
+        # raw fast path: one flat byte buffer, zero conversions
+        nbytes = [numel * np.dtype(d).itemsize
+                  for (_, numel, *_), d in zip(metas, dtypes)]
+        offsets = np.concatenate([[0], np.cumsum(nbytes[:-1])]).astype(
+            np.int64) if nbytes else np.zeros(0, np.int64)
+        flat = np.empty(int(sum(nbytes)), np.uint8)
+        failed = lib.gl_nifti_read_many_raw(
+            c_paths, len(paths),
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            (ctypes.c_int64 * len(paths))(*offsets.tolist()),
+            (ctypes.c_int64 * len(paths))(*nbytes), num_threads)
+        if failed:
+            raise IOError(f"native batch read: {failed}/{len(paths)} failed")
+        return [flat[o:o + n].view(d).reshape(m[0], order="F")
+                for o, n, d, m in zip(offsets, nbytes, dtypes, metas)]
+
+    # mixed scaled/unscaled batch goes through the f32 core: every entry
+    # must then be f32-exact (raw exactness is unavailable here)
+    if any(d not in (np.float32,) and d not in _F32_EXACT.values()
+           for d in dtypes):
+        raise IOError("mixed batch with f32-inexact dtype → python reader")
+    numels = [m[1] for m in metas]
+    offsets = [0]
+    for n in numels[:-1]:
+        offsets.append(offsets[-1] + n)
+    flat = np.empty(sum(numels), np.float32)
     failed = lib.gl_nifti_read_many_f32(
         c_paths, len(paths),
         flat.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        c_off, c_num, num_threads)
+        (ctypes.c_int64 * len(paths))(*offsets),
+        (ctypes.c_int64 * len(paths))(*numels), num_threads)
     if failed:
         raise IOError(f"native batch read: {failed}/{len(paths)} failed")
-    return [flat[o:o + n].reshape(s, order="F") if d == np.float32
-            else flat[o:o + n].reshape(s, order="F").astype(d)
-            for o, n, s, d in zip(offsets, numels, shapes, dtypes)]
+    return [flat[o:o + n].reshape(m[0], order="F") if d == np.float32
+            else flat[o:o + n].reshape(m[0], order="F").astype(d)
+            for o, n, d, m in zip(offsets, numels, dtypes, metas)]

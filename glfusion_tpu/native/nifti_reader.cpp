@@ -262,6 +262,50 @@ int gl_nifti_query_v2(const char* path, int64_t* dims_out, int* dtype_out,
   return 0;
 }
 
+// Raw voxel bytes (no f32 round trip) — the fast path for UNSCALED
+// volumes: exact for every dtype (it is the on-disk representation).
+// Returns 5 for big-endian files (caller byte-swaps via the Python
+// reader) and 6 when scl_slope/scl_inter apply (values must be scaled,
+// use the f32 path).
+int gl_nifti_read_raw(const char* path, uint8_t* out, int64_t nbytes) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, buf)) return 1;
+  Header h;
+  if (!parse_header(buf, h)) return 2;
+  if (h.big_endian) return 5;
+  bool scaled = !(h.scl_slope == 0.0f || h.scl_slope == 1.0f) ||
+                h.scl_inter != 0.0f;
+  if (scaled) return 6;
+  if (static_cast<int64_t>(buf.size()) - h.vox_offset < nbytes) return 3;
+  std::memcpy(out, buf.data() + h.vox_offset, nbytes);
+  return 0;
+}
+
+// Parallel batch raw read: paths[i] copies into out + byte_offsets[i].
+int gl_nifti_read_many_raw(const char* const* paths, int n, uint8_t* out,
+                           const int64_t* byte_offsets,
+                           const int64_t* nbytes, int num_threads) {
+  if (num_threads <= 0) {
+    num_threads = static_cast<int>(std::thread::hardware_concurrency());
+    if (num_threads <= 0) num_threads = 4;
+  }
+  if (num_threads > n) num_threads = n;
+  std::vector<int> failures(n, 0);
+  std::vector<std::thread> pool;
+  for (int t = 0; t < num_threads; ++t) {
+    pool.emplace_back([&, t]() {
+      for (int i = t; i < n; i += num_threads) {
+        failures[i] =
+            gl_nifti_read_raw(paths[i], out + byte_offsets[i], nbytes[i]);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+  int failed = 0;
+  for (int i = 0; i < n; ++i) failed += failures[i] != 0;
+  return failed;
+}
+
 // out must have room for numel floats (file/Fortran order).
 int gl_nifti_read_f32(const char* path, float* out, int64_t numel) {
   std::vector<uint8_t> buf;

@@ -18,16 +18,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+def _nearest_indices_np(out_size: int, in_size: int) -> np.ndarray:
     # torch nearest rule: src = floor(i * scale) with scale = in/out computed
     # in FLOAT32 (torch's CPU/CUDA kernels use single precision here; e.g.
     # 90 * (200/144) → 124.9999 → 124, not the exact 125). Bit-parity with
     # MONAI Resized(mode='nearest') requires reproducing that rounding.
-    # Sizes are static, so compute the table host-side with numpy float32 —
-    # this also avoids XLA fusing the multiply at a different precision.
+    # PLAIN numpy: host loaders use this table directly — wrapping it in a
+    # device array would make every host-side resize a device round trip
+    # (seconds each through remote TPU transports).
     scale = np.float32(in_size) / np.float32(out_size)
     idx = np.floor(np.arange(out_size, dtype=np.float32) * scale)
-    return jnp.asarray(np.clip(idx.astype(np.int64), 0, in_size - 1))
+    return np.clip(idx.astype(np.int64), 0, in_size - 1)
+
+
+def _nearest_indices(out_size: int, in_size: int) -> jnp.ndarray:
+    return jnp.asarray(_nearest_indices_np(out_size, in_size))
 
 
 def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int],

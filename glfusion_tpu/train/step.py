@@ -92,10 +92,11 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
 
             cyc_loss = jnp.float32(0.0)
             if tc.use_cycle and "clips" in batch:
+                light = {"features_only": True} if tc.cycle_light else {}
                 out2, upd2 = model.apply(
                     {"params": params, "batch_stats": bstats},
                     batch["clips"], True, mutable=["batch_stats"],
-                    rngs={"dropout": rng_cyc_drop})
+                    rngs={"dropout": rng_cyc_drop}, **light)
                 bstats = upd2["batch_stats"]
                 feat = jnp.sum(out2["f4_global"], axis=(2, 3))  # (V, T, C)
                 kw = dict(target_region=tc.cycle_target_region,

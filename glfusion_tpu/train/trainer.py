@@ -78,6 +78,13 @@ class Trainer:
         from glfusion_tpu.models.registry import build_seg_model
         self.model, self._cps = build_seg_model(cfg.model)
         self.view_ids = view_ids_tuple(cfg.model.views)
+        if cfg.train.cycle_light and (
+                cfg.model.arch != "glfusion" or self._cps
+                or cfg.model.variant == "fg_bg"):
+            raise ValueError(
+                "cycle_light requires the plain glfusion arch "
+                "(non-CPS, non-fg_bg): the fast cycle forward computes "
+                "f4_global directly")
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         hw = cfg.data.crop_hw

@@ -127,8 +127,17 @@ def test_native_nifti_reader_matches_python(tmp_path):
 
     rs = np.random.RandomState(0)
     paths, arrs = [], []
-    for i, dt in enumerate([np.uint8, np.int16, np.float32, np.uint16]):
-        arr = (rs.rand(17, 13, 9) * 100).astype(dt)
+    # unscaled volumes take the RAW byte path: exact for EVERY dtype,
+    # including f64 and 32-bit ints beyond f32's 24-bit mantissa
+    for i, (dt, arr) in enumerate([
+        (np.uint8, (rs.rand(17, 13, 9) * 100)),
+        (np.int16, (rs.rand(17, 13, 9) * 100)),
+        (np.float32, rs.rand(17, 13, 9)),
+        (np.uint16, (rs.rand(17, 13, 9) * 100)),
+        (np.float64, rs.rand(5, 6, 7)),
+        (np.int32, np.array([2 ** 24 + 1, 2 ** 25 + 3, -7]).reshape(3, 1, 1)),
+    ]):
+        arr = arr.astype(dt)
         p = tmp_path / f"v{i}.nii.gz"
         write_nifti(p, arr)
         paths.append(p)
@@ -143,23 +152,6 @@ def test_native_nifti_reader_matches_python(tmp_path):
     for arr, o in zip(arrs, outs):
         assert o.dtype == arr.dtype
         np.testing.assert_array_equal(o, arr)
-    # float64 and 32-bit ints can exceed f32's 24-bit mantissa → routed to
-    # the python reader, which is exact
-    from glfusion_tpu.data.nifti import read_nifti
-    p64 = tmp_path / "f64.nii.gz"
-    a64 = rs.rand(5, 6, 7)
-    write_nifti(p64, a64)
-    with pytest.raises(IOError):
-        read_nifti_native(p64)
-    np.testing.assert_array_equal(read_nifti(p64), a64)  # falls back
-    p32 = tmp_path / "i32.nii.gz"
-    a32 = np.array([2 ** 24 + 1, 2 ** 25 + 3, -7], np.int32).reshape(3, 1, 1)
-    write_nifti(p32, a32)
-    with pytest.raises(IOError):
-        read_nifti_native(p32)
-    np.testing.assert_array_equal(read_nifti(p32), a32)  # exact via python
-    with pytest.raises(IOError):  # one unsafe file fails the whole batch
-        read_nifti_batch_native(paths + [p32])
 
 
 def _write_scaled_nifti(path, arr_int16: np.ndarray, slope: float,
@@ -255,3 +247,26 @@ def test_eval_loader_scores_every_patient(synth):
     tr = SegFrameLoader(index, ids, ("1",), cfg, is_train=True)
     tr_sizes = [b["images_raw"].shape[1] for b in tr.batches(batch_size)]
     assert all(s == batch_size for s in tr_sizes)  # train: drop-last
+
+
+def test_seg_loader_cache_is_byte_bounded(synth):
+    """The LRU is sized by BYTES: corpus-sized workloads (534 entries on
+    the real data) must fit instead of thrashing on an item cap, and a
+    tiny budget must evict oldest-first."""
+    from glfusion_tpu.data.pipeline import SegFrameLoader
+
+    cfg, index, train = synth
+    ids = list(index.records)
+    loader = SegFrameLoader(index, ids, ("1",), cfg, is_train=False)
+    list(loader.batches(2))
+    assert len(loader._cache) == len(ids)          # all fit in 4 GiB
+    assert loader._cache_used == sum(
+        loader._entry_bytes(e) for e in loader._cache.values())
+
+    one_entry = next(iter(loader._cache.values()))
+    budget = loader._entry_bytes(one_entry) * 2 + 1
+    small = SegFrameLoader(index, ids, ("1",), cfg, is_train=False,
+                           cache_bytes=budget)
+    list(small.batches(2))
+    assert len(small._cache) <= 2                  # evicted down to budget
+    assert small._cache_used <= budget

@@ -171,3 +171,65 @@ def test_cps_train_step_supervises_both_networks():
     _, m0 = step0(make_state(), {"images": imgs, "masks": masks},
                   jax.random.PRNGKey(2))
     assert float(m0["seg_loss"]) != float(metrics["seg_loss"])
+
+
+def test_cycle_light_preserves_loss_math():
+    """cycle_light skips the cycle forward's discarded heads: identical
+    seg/cyc/total losses on the same params+batch, differing only in which
+    BN running stats update."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    model = GlobalAndLocal(cfg.model)
+    hw, t = cfg.data.crop_hw, cfg.data.clip_length
+    v = cfg.model.num_views
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "images": jax.random.uniform(rng, (v, 2, hw, hw, 1)),
+        "masks": (jax.random.uniform(jax.random.fold_in(rng, 1),
+                                     (v, 2, hw, hw, 5)) > 0.5
+                  ).astype(jnp.float32),
+        "clips": jax.random.uniform(jax.random.fold_in(rng, 2),
+                                    (v, t, hw, hw, 1)) * 255,
+    }
+    variables = model.init(rng, batch["images"], False)
+    init_params = jax.device_get(variables["params"])
+    init_bstats = jax.device_get(variables.get("batch_stats", {}))
+
+    def run(cycle_light):
+        c = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cycle_light=cycle_light))
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.asarray, init_params),
+            batch_stats=jax.tree_util.tree_map(jnp.asarray, init_bstats),
+            tx=make_optimizer(c, 10))
+        step = make_train_step(c, model)
+        state2, m = step(state, dict(batch), jax.random.PRNGKey(3))
+        return state2, jax.device_get(m)
+
+    s_full, m_full = run(False)
+    s_light, m_light = run(True)
+    assert np.isfinite(m_light["loss"])
+    np.testing.assert_allclose(m_light["cyc_loss"], m_full["cyc_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_light["seg_loss"], m_full["seg_loss"],
+                               rtol=1e-5)
+    # full mode updated classifier BN stats on cycle frames; light didn't
+    full_cls = np.concatenate([np.ravel(x) for x in
+                               jax.tree_util.tree_leaves(
+                                   jax.device_get(
+                                       s_full.batch_stats["classifier"]))])
+    light_cls = np.concatenate([np.ravel(x) for x in
+                                jax.tree_util.tree_leaves(
+                                    jax.device_get(
+                                        s_light.batch_stats["classifier"]))])
+    assert not np.allclose(full_cls, light_cls)
