@@ -112,6 +112,7 @@ class TTPAVI(tnn.Module):
 
     def __init__(self, c, inter):
         super().__init__()
+        inter = inter or c // 2  # reference default: inter = in_channels//2
         self.theta = tnn.Conv3d(c, inter, 1)
         self.phi = tnn.Conv3d(c, inter, 1)
         self.g = tnn.Conv3d(c, inter, 1)
