@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dense-cyc", action="store_true",
                    help="use dense_seg_cycle (reference main.py:719)")
     p.add_argument("--cycle-light", action="store_true",
-                   help="fast cycle forward: compute only the cycle-loss "
+                   help="cycle forward computes only the cycle-loss "
                         "features (identical loss; skipped heads' BN stats "
-                        "stop updating on cycle frames). ~25%% faster steps")
+                        "stop updating on cycle frames)")
     p.add_argument("--save-dir", default="./result/ckpt")
     p.add_argument("--log-dir", default="./result/log_info/log_01")
     p.add_argument("--resume", action="store_true",

@@ -127,11 +127,13 @@ class TrainConfig:
     use_cycle: bool = True
     dense_cyc: bool = False
     cycle_weight: float = 1e-2
-    # TPU-first fast path: the cycle forward computes only f4_global
-    # (backbone + global attention), skipping the heads whose outputs the
-    # cycle loss discards — identical loss math; only the skipped heads'
-    # BN running stats stop updating on cycle frames. ~25% faster steps
-    # measured (BASELINE.md). glfusion arch only.
+    # The cycle forward computes only f4_global (backbone + global
+    # attention), skipping the heads whose outputs the cycle loss discards
+    # — identical loss math; only the skipped heads' BN running stats stop
+    # updating on cycle frames. Measured ≈neutral on v5e at full size (the
+    # cycle cost is backbone-bound after the ASPP clipped-tap
+    # decomposition; BASELINE.md) — kept as a knob for wider-head configs.
+    # glfusion arch only.
     cycle_light: bool = False
     # cross-pseudo-supervision weight for the CPS twin (the reference ships
     # Global_and_Local_CPS, models/ours.py:3141, without a training path;
