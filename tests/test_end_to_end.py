@@ -58,19 +58,31 @@ def test_synthetic_dataset_contract(synth):
     assert timg.shape[0] == 1 and tlab.shape[0] == 5
 
 
-def test_train_two_epochs_loss_decreases_and_eval_runs(synth, tmp_path):
-    cfg, paths = synth
+@pytest.fixture(scope="module")
+def trained(synth, tmp_path_factory):
+    """ONE trained trainer shared by the e2e tests (training is the
+    expensive part; infer/sweep only need its checkpoints)."""
     from dataclasses import replace
-    cfg = replace(cfg, train=replace(cfg.train,
-                                     save_dir=str(tmp_path / "ckpt"),
-                                     log_dir=str(tmp_path / "log"),
-                                     num_epochs=2,
-                                     eval_every_epochs=100))
-    from glfusion_tpu.train.trainer import Trainer
-    trainer = Trainer(cfg, data_paths=paths, verbose=False)
 
+    from glfusion_tpu.train.trainer import Trainer
+
+    cfg, paths = synth
+    tmp = tmp_path_factory.mktemp("e2e")
+    cfg = replace(cfg, train=replace(cfg.train,
+                                     save_dir=str(tmp / "ckpt"),
+                                     log_dir=str(tmp / "log"),
+                                     num_epochs=2,
+                                     eval_every_epochs=100,
+                                     save_every_epochs=1))
+    trainer = Trainer(cfg, data_paths=paths, verbose=False)
     m0 = trainer._train_epoch(0)
     m1 = trainer._train_epoch(1)
+    trainer.ckpt.save(trainer.state, epoch=0)
+    return trainer, m0, m1, tmp
+
+
+def test_train_two_epochs_loss_decreases_and_eval_runs(trained):
+    trainer, m0, m1, _ = trained
     assert np.isfinite(m0["loss"]) and np.isfinite(m1["loss"])
     assert m1["seg_loss"] < m0["seg_loss"], (m0, m1)
 
@@ -121,21 +133,10 @@ def test_training_is_deterministic_for_fixed_seed(tmp_path):
     assert a["dice"] == b["dice"]
 
 
-def test_infer_and_sweep_apis(synth, tmp_path):
+def test_infer_and_sweep_apis(trained, tmp_path):
     """Trainer.infer writes NIfTI predictions; sweep picks a best epoch."""
-    from dataclasses import replace
-
-    from glfusion_tpu.train.trainer import Trainer
-
-    cfg, paths = synth
-    cfg = replace(cfg, train=replace(cfg.train,
-                                     save_dir=str(tmp_path / "ckpt"),
-                                     log_dir=str(tmp_path / "log"),
-                                     num_epochs=2,
-                                     eval_every_epochs=100,
-                                     save_every_epochs=1))
-    trainer = Trainer(cfg, data_paths=paths, verbose=False)
-    trainer.train(num_epochs=2)
+    trainer, _, _, _ = trained
+    cfg = trainer.cfg
 
     n = trainer.infer(out_dir=str(tmp_path / "preds"))
     files = sorted((tmp_path / "preds").glob("pred_*.nii.gz"))

@@ -123,10 +123,11 @@ def test_cps_train_step_supervises_both_networks():
     from glfusion_tpu.train.step import make_train_step
     from glfusion_tpu.train.train_state import TrainState, make_optimizer
 
-    cfg = tiny_config()
+    cfg = tiny_config(views=("1", "4"))
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(cfg.model, variant="cps"),
+        data=dataclasses.replace(cfg.data, crop_hw=16),
         train=dataclasses.replace(cfg.train, use_cycle=False))
     inner = dataclasses.replace(cfg.model, variant="global_and_local")
     model = GlobalAndLocalCPS(inner)

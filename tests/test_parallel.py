@@ -47,7 +47,8 @@ def test_dryrun_multichip_1dev():
         "__graft_entry__", "__graft_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(1)
+    # quick basic-step check: the 8-device test covers the fused/eval paths
+    mod.dryrun_multichip(1, full=False)
 
 
 def test_sharded_forward_matches_unsharded():

@@ -206,7 +206,7 @@ def test_model20_multistage_fusion_is_interleaved():
 
     cfg = tiny_config().model
     m = LegacyMultiviewSeg(cfg, fusion="tpavi", fusion_stages=(1, 2, 3, 4))
-    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 1, 32, 32, 1))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 1, 16, 16, 1))
     v = m.init(jax.random.PRNGKey(0), x, False)
     for s in (1, 2, 3, 4):
         assert f"non_local{s}" in v["params"], sorted(v["params"])
