@@ -69,6 +69,10 @@ class ModelConfig:
     use_pallas_fusion: bool = False
     # Rematerialize backbone stages to trade FLOPs for HBM (28×28×2048 maps).
     remat: bool = False
+    # Per-stage remat override (len == len(block_sizes)); None → every stage
+    # when remat=True. Lets the cheap-to-recompute, activation-heavy early
+    # stages remat while late stages keep their activations (or vice versa).
+    remat_stages: Sequence[bool] | None = None
 
     @property
     def backbone_out_channels(self) -> int:
@@ -130,10 +134,10 @@ class TrainConfig:
     # The cycle forward computes only f4_global (backbone + global
     # attention), skipping the heads whose outputs the cycle loss discards
     # — identical loss math; only the skipped heads' BN running stats stop
-    # updating on cycle frames. Measured ≈neutral on v5e at full size (the
-    # cycle cost is backbone-bound after the ASPP clipped-tap
-    # decomposition; BASELINE.md) — kept as a knob for wider-head configs.
-    # glfusion arch only.
+    # updating on cycle frames. Measured −14 % per step at full size on
+    # v5e (0.319 vs 0.372 s, BASELINE.md; an earlier "neutral" finding
+    # compared two graphs both silently dead-code-eliminated by an unsound
+    # benchmark harness). glfusion arch only.
     cycle_light: bool = False
     # cross-pseudo-supervision weight for the CPS twin (the reference ships
     # Global_and_Local_CPS, models/ours.py:3141, without a training path;

@@ -99,6 +99,8 @@ class GlobalAndLocal(nn.Module):
             dilate_stages=tuple(cfg.dilate_stages),
             dtype=cfg.dtype,
             remat=cfg.remat,
+            remat_stages=(tuple(cfg.remat_stages)
+                          if cfg.remat_stages is not None else None),
             name="backbone",
         )
         classifier = _per_view(DeepLabHead)(

@@ -152,6 +152,9 @@ class ResNetIEKD(nn.Module):
     dilate_stages: Sequence[bool] = (False, False, True, True)
     dtype: str = "float32"
     remat: bool = False
+    # per-stage remat mask (len == len(block_sizes)); None → all stages
+    # when remat=True
+    remat_stages: Sequence[bool] | None = None
     # return a dict of tap activations ({"stem", "layer1".."layer4"}) instead
     # of only layer4 (multi-stage fusion, reference models/ours.py model20;
     # IEKD layer taps, reference models/_utils.py:222-231)
@@ -170,13 +173,15 @@ class ResNetIEKD(nn.Module):
         stem_act = x  # pre-maxpool ('x_layerbs', reference _utils.py:222)
         x = max_pool_3x3_s2(x)
 
-        block_cls = Bottleneck
-        if self.remat:
-            block_cls = nn.remat(Bottleneck, static_argnums=(2,))
+        remat_mask = self.remat_stages
+        if remat_mask is None:
+            remat_mask = (self.remat,) * len(self.block_sizes)
+        remat_block = nn.remat(Bottleneck, static_argnums=(2,))
 
         taps = {"stem": stem_act}
         plan = stage_plan(self.block_sizes, self.widths, self.dilate_stages)
         for stage, (blocks, planes, stride, first_dil, dil) in enumerate(plan):
+            block_cls = remat_block if remat_mask[stage] else Bottleneck
             for b in range(blocks):
                 x = block_cls(
                     planes=planes,

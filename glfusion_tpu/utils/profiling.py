@@ -43,11 +43,19 @@ def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
             warmup: bool = True) -> float:
     """Seconds per call of ``fn(*args)`` measured on-device.
 
-    fn must return a pytree of arrays. The loop carry is threaded INTO the
-    first input leaf of every iteration (``leaf + carry``), so the call has
-    a true loop-carried dependency: XLA can neither hoist it out of the scan
-    (it is not loop-invariant) nor overlap/elide iterations. The carry value
-    is ~1e-30·mean(out), numerically invisible.
+    fn must return a pytree of arrays. The loop carry is threaded INTO
+    EVERY floating input leaf of every iteration (``leaf + carry``), so the
+    call has a true loop-carried dependency no matter which inputs the fn
+    actually reads: XLA can neither hoist it out of the scan (it is not
+    loop-invariant) nor overlap/elide iterations. Perturbing only the first
+    leaf was measured to be unsound — e.g. a flax train-mode apply flattens
+    ``batch_stats`` leaves first and never reads them (BN uses batch
+    statistics), leaving the carry dead and the whole body hoisted (a
+    144-frame forward "measured" 20 ms vs its real 118 ms). The per-leaf
+    adds cost one extra elementwise pass over the inputs — usually well
+    under 1 ms — and the carry value is ~1e-30·mean(out), numerically
+    invisible. The carry also folds into every output leaf, so no part of
+    the body's output tree is dead.
     """
 
     @jax.jit
@@ -55,18 +63,19 @@ def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
         leaves, treedef = jax.tree_util.tree_flatten(a)
         if not leaves:
             raise ValueError("time_fn needs at least one array argument")
-        # perturb the first floating leaf (falls back to leaf 0: even an
-        # int cast of the carry creates the data dependency)
-        idx = next((i for i, l in enumerate(leaves)
-                    if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)), 0)
 
         def body(carry, _):
-            per = list(leaves)
-            l0 = jnp.asarray(per[idx])
-            per[idx] = l0 + carry.astype(l0.dtype)
+            per = [
+                jnp.asarray(l) + carry.astype(l.dtype)
+                if jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)
+                else l
+                for l in leaves
+            ]
             out = fn(*jax.tree_util.tree_unflatten(treedef, per))
-            leaf = jax.tree_util.tree_leaves(out)[0]
-            return jnp.mean(leaf.astype(jnp.float32)) * 1e-30, None
+            acc = jnp.float32(0.0)
+            for leaf in jax.tree_util.tree_leaves(out):
+                acc += jnp.mean(jnp.asarray(leaf).astype(jnp.float32))
+            return acc * 1e-30, None
 
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return carry

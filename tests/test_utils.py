@@ -190,6 +190,26 @@ def test_time_fn_scales_with_iters():
     assert t16 > 3.0 * t2, (t2, t16)
 
 
+def test_time_fn_unused_first_leaf_not_hoisted():
+    """Regression: the carry must feed EVERY input leaf. Perturbing only the
+    first flattened leaf is unsound when fn never reads it (real case: a
+    flax train-mode apply flattens batch_stats first and ignores them, so
+    the whole body became loop-invariant and XLA timed 1 iteration as if it
+    were N). fn below ignores its first argument entirely."""
+    import jax.numpy as jnp
+    from glfusion_tpu.utils.profiling import time_fn
+
+    unused = jnp.ones((4,), jnp.float32)
+    x = jnp.ones((384, 384), jnp.float32)
+
+    def fn(dead, a):
+        return a @ a @ a
+
+    t2 = time_fn(fn, unused, x, iters=2) * 2
+    t16 = time_fn(fn, unused, x, iters=16) * 16
+    assert t16 > 3.0 * t2, (t2, t16)
+
+
 def test_initialize_distributed_guards_on_env_only(monkeypatch):
     """Guard must not touch the XLA backend (jax.distributed.initialize has
     to run before any backend use) and must no-op for world size <= 1."""
