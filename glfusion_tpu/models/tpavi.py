@@ -63,14 +63,39 @@ class TPAVI(nn.Module):
 
         tokens = x.reshape(b, n, c)
         kv_tokens = tokens if kv is None else kv.reshape(b, n, c)
-        g = nn.Dense(inter, dtype=dtype, name="g")(tokens)
+
+        if self.mode != "gaussian" and kv is None and not train:
+            # Self-attention fast path (eval only): θ, φ, g all project the
+            # SAME tokens with independent weights — run them as ONE
+            # C → 3·C′ matmul (weights concatenated at apply time via the
+            # scope API, so the parameter tree, init values, and
+            # checkpoint-name mapping are identical to three nn.Dense
+            # calls, and each output channel is the same dot product). One
+            # read of the (B·N, C) token matrix instead of three:
+            # measured +1.4 % inference throughput; the fused form's
+            # backward measured ~2 % slower, so training keeps the
+            # three-matmul form (BASELINE.md).
+            ks, bs = [], []
+            for name in ("theta", "phi", "g"):
+                s = self.scope.push(name)
+                ks.append(s.param("kernel", nn.initializers.lecun_normal(),
+                                  (c, inter)))
+                bs.append(s.param("bias", nn.initializers.zeros, (inter,)))
+            big = jnp.concatenate(ks, axis=-1).astype(dtype)
+            bias = jnp.concatenate(bs).astype(dtype)
+            fused = tokens.astype(dtype) @ big + bias
+            theta, phi, g = jnp.split(fused, 3, axis=-1)
+        else:
+            g = nn.Dense(inter, dtype=dtype, name="g")(tokens)
+            theta = phi = None
 
         if self.mode == "gaussian":
             f = jnp.einsum("bic,bjc->bij", tokens, kv_tokens)
             y = jnp.einsum("bij,bjd->bid", nn.softmax(f, -1), g)
         else:
-            theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
-            phi = nn.Dense(inter, dtype=dtype, name="phi")(kv_tokens)
+            if theta is None:
+                theta = nn.Dense(inter, dtype=dtype, name="theta")(tokens)
+                phi = nn.Dense(inter, dtype=dtype, name="phi")(kv_tokens)
             if self.mode == "dot":
                 if self.attn_impl == "pallas":
                     from glfusion_tpu.ops.tpavi_pallas import (

@@ -6,6 +6,7 @@ reference tensor code and the JAX implementation.
 """
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -234,3 +235,70 @@ def test_cycle_light_preserves_loss_math():
                                     jax.device_get(
                                         s_light.batch_stats["classifier"]))])
     assert not np.allclose(full_cls, light_cls)
+
+
+def test_chained_benchmark_keeps_cycle_heads_live():
+    """Regression for the r2 benchmark-DCE bug: in a chained-scan timing
+    harness whose output consumes only losses+params, XLA dead-code
+    eliminates the cycle forward's head computations (live only through
+    their BN running-stat updates), so the 'full' and cycle_light graphs
+    compile identically and cycle_light measures neutral. The sound harness
+    (bench.py) also consumes batch_stats; with it, full must cost strictly
+    more FLOPs than cycle_light."""
+    import dataclasses
+
+    import jax
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    model = GlobalAndLocal(cfg.model)
+    hw, t = cfg.data.crop_hw, cfg.data.clip_length
+    v = cfg.model.num_views
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "images": jax.random.uniform(rng, (v, 2, hw, hw, 1)),
+        "masks": (jax.random.uniform(jax.random.fold_in(rng, 1),
+                                     (v, 2, hw, hw, 5)) > 0.5
+                  ).astype(jnp.float32),
+        "clips": jax.random.uniform(jax.random.fold_in(rng, 2),
+                                    (v, t, hw, hw, 1)) * 255,
+    }
+    variables = model.init(rng, batch["images"], False)
+
+    def flops(cycle_light):
+        c = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, cycle_light=cycle_light))
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            tx=make_optimizer(c, 10))
+        step = make_train_step(c, model)
+
+        def chained(state, b, k):
+            def body(carry, i):
+                st, m = step(carry, b, jax.random.fold_in(k, i))
+                return st, m["loss"]
+
+            st, losses = jax.lax.scan(body, state, jnp.arange(2))
+            tot = jnp.sum(losses)
+            for leaf in jax.tree_util.tree_leaves(st.params):
+                tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+            for leaf in jax.tree_util.tree_leaves(st.batch_stats):
+                tot += jnp.mean(leaf).astype(jnp.float32)
+            return tot
+
+        comp = jax.jit(chained).lower(
+            state, batch, jax.random.PRNGKey(3)).compile()
+        ca = comp.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"]) if ca and ca.get("flops") else None
+
+    f_full, f_light = flops(False), flops(True)
+    if f_full is None or f_light is None:
+        pytest.skip("cost_analysis unavailable on this backend")
+    assert f_full > 1.02 * f_light, (f_full, f_light)
