@@ -145,7 +145,8 @@ class Trainer:
             if (epoch + 1) % cfg.train.eval_every_epochs == 0:
                 self.validation_and_test()
             if (epoch + 1) % cfg.train.save_every_epochs == 0:
-                self.ckpt.save(self.state, epoch)
+                self.ckpt.save(self.state, epoch)  # async; flushed below
+        self.ckpt.wait()  # make every in-flight async save durable
         return last
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:

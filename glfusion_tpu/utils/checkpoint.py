@@ -24,7 +24,17 @@ class CheckpointManager:
                                                  create=True),
         )
 
-    def save(self, state, epoch: int) -> None:
+    def save(self, state, epoch: int, wait: bool = False) -> None:
+        """Checkpoint the full train state at ``epoch``.
+
+        Async by default: Orbax snapshots device arrays to host inside
+        ``save()`` (so later donated-buffer reuse by train steps cannot
+        corrupt the data) and serializes/writes in the background —
+        training continues while the previous checkpoint hits disk.
+        Overlapping saves are serialized by Orbax. ``wait=True`` (or
+        ``wait()``) blocks until everything is durable; every read path
+        below waits first.
+        """
         payload = {
             "params": state.params,
             "batch_stats": state.batch_stats,
@@ -32,14 +42,21 @@ class CheckpointManager:
             "step": state.step,
         }
         self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        if wait:
+            self._mgr.wait_until_finished()
+
+    def wait(self) -> None:
+        """Block until all in-flight async saves are durable on disk."""
         self._mgr.wait_until_finished()
 
     def all_steps(self) -> list:
         """Sorted saved epochs (the sweep-eval substrate, main.py:316-323)."""
+        self._mgr.wait_until_finished()
         return sorted(int(s) for s in self._mgr.all_steps())
 
     def restore_step(self, state, step: int):
         """Restore one specific epoch's state (or None)."""
+        self._mgr.wait_until_finished()
         if step not in set(self._mgr.all_steps()):
             return None
         template = {
@@ -58,6 +75,7 @@ class CheckpointManager:
         )
 
     def restore_latest(self, state) -> Optional[Tuple[object, int]]:
+        self._mgr.wait_until_finished()
         step = self._mgr.latest_step()
         if step is None:
             return None
