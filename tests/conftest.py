@@ -20,6 +20,16 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_default_matmul_precision", "highest")
 
+# Tests run model.init/apply eagerly, so suite time is thousands of tiny
+# op-by-op CPU compiles — each under the package default 1 s persistent
+# cache threshold, so repeat runs recompiled everything. Cache them all:
+# repeat suite runs then load from ~/.cache/glfusion_jax instead.
+# (Import the package FIRST — its __init__ sets the threshold to 1 s and
+# would overwrite this.)
+import glfusion_tpu  # noqa: E402,F401
+
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
 import pytest  # noqa: E402
 
 

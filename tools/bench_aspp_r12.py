@@ -1,12 +1,14 @@
 #!/usr/bin/env python
 """Microbench: lowerings of the ASPP rate-12 dilated 3x3 conv at 28^2.
 
-The op profile of the real train step showed XLA's native lowering of the
-rate-12 branch at ~6% of bf16 peak (11.4 ms for the classifier instance) —
-the single worst op in the model. At rate 12 on a 28x28 map the effective
-kernel extent is 25x25, and 49% of taps read only zero padding; the current
-ASPP heuristic (decompose only when active < 50%) just barely keeps the
-native conv. Exact alternatives benchmarked here:
+MEASURED VERDICT: native wins (2.7 ms fwd vs 3.4 clipped / 3.6 im2col /
+10.0 patches at the 144-frame shape) — the op-profile row that motivated
+this tool (11.4 ms attributed to the classifier's b1_conv) turned out to
+be a whole XLA fusion around a healthy 2048->256-channel branch running
+at ~47% of peak, not a pathological lowering. The ASPP heuristic
+(decompose a dilated branch only when <50% of taps are in-bounds) stands.
+At rate 12 on a 28x28 map the effective kernel extent is 25x25 and 49%
+of taps read only zero padding; the exact alternatives benchmarked:
 
   native   - lax.conv_general_dilated (what ASPP emits today at rate 12)
   clipped  - the DilatedConv3x3 tap decomposition (9 in-bounds einsums +

@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Microbench: lowerings of the IEKD stem's 7x7 stride-1 1-channel conv.
 
-The stage profile (tools/profile_stages.py) shows the stem at ~1.7% of bf16
-peak — the worst op in the model. Cin=1 starves the MXU contraction dim and
-the 1-channel NHWC input is lane-padded. Candidates, all exact:
+MEASURED VERDICT: native wins (1.6 ms fwd / 4.3 fwd+bwd at 120 frames vs
+1.8/5.2 patches-im2col, 3.9/8.2 stacked-im2col, 11.0/16.2 rowdot). The
+stem MODULE's ~8 ms (1.7% of bf16 peak, tools/profile_stages.py) is NOT
+the conv: it is bandwidth on the 110^2x64 activation through BN/ReLU/
+maxpool, which no conv lowering fixes. Candidates, all exact:
 
   native   - lax.conv_general_dilated as nn.Conv emits today
   im2col   - stack the 49 shifted slices of the padded 1-ch image into a
