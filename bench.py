@@ -127,18 +127,11 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
             return st, m["loss"]
 
         state, losses = jax.lax.scan(body, state, jnp.arange(iters))
-        # reduce over EVERY output of the step: params AND batch_stats.
-        # Consuming only params was measured to be unsound — the cycle
-        # forward's head computations are live ONLY through their BN
-        # running-stat updates, so a dead batch_stats output lets XLA
-        # dead-code-eliminate ~5 TFLOP/step of real training work (the
-        # "full" and cycle_light graphs timed identically).
-        tot = jnp.sum(losses)
-        for leaf in jax.tree_util.tree_leaves(state.params):
-            tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
-        for leaf in jax.tree_util.tree_leaves(state.batch_stats):
-            tot += jnp.mean(leaf).astype(jnp.float32)
-        return tot
+        # reduce over EVERY output of the step: params AND batch_stats
+        # (see utils/profiling.consume_state — a dead batch_stats output
+        # lets XLA dead-code-eliminate the cycle heads' ~5 TFLOP/step).
+        from glfusion_tpu.utils.profiling import consume_state
+        return consume_state(jnp.sum(losses), state)
 
     compiled = jax.jit(chained_fn).lower(
         state, batch_arrays, rng).compile()
@@ -153,13 +146,9 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     flops = None
     try:
         def one_step(state, batch, rng):
+            from glfusion_tpu.utils.profiling import consume_state
             st, m = step(state, batch, rng)
-            tot = m["loss"]
-            for leaf in jax.tree_util.tree_leaves(st.params):
-                tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
-            for leaf in jax.tree_util.tree_leaves(st.batch_stats):
-                tot += jnp.mean(leaf).astype(jnp.float32)
-            return tot
+            return consume_state(m["loss"], st)
 
         ca = jax.jit(one_step).lower(
             state, batch_arrays, rng).compile().cost_analysis()

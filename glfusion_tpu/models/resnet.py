@@ -176,6 +176,10 @@ class ResNetIEKD(nn.Module):
         remat_mask = self.remat_stages
         if remat_mask is None:
             remat_mask = (self.remat,) * len(self.block_sizes)
+        elif len(remat_mask) != len(self.block_sizes):
+            raise ValueError(
+                f"remat_stages has {len(remat_mask)} entries for "
+                f"{len(self.block_sizes)} stages")
         remat_block = nn.remat(Bottleneck, static_argnums=(2,))
 
         taps = {"stem": stem_act}

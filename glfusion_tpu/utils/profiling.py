@@ -71,6 +71,12 @@ def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
                 else l
                 for l in leaves
             ]
+            if not any(jnp.issubdtype(jnp.asarray(l).dtype, jnp.inexact)
+                       for l in leaves):
+                # all-integer inputs: even an int cast of the carry creates
+                # the loop dependency (else the body is hoistable)
+                l0 = jnp.asarray(per[0])
+                per[0] = l0 + carry.astype(l0.dtype)
             out = fn(*jax.tree_util.tree_unflatten(treedef, per))
             acc = jnp.float32(0.0)
             for leaf in jax.tree_util.tree_leaves(out):
@@ -85,6 +91,24 @@ def time_fn(fn: Callable[..., Any], *args, iters: int = 10,
     t0 = time.perf_counter()
     float(chained(*args))
     return (time.perf_counter() - t0) / iters
+
+
+def consume_state(tot: jnp.ndarray, state) -> jnp.ndarray:
+    """Fold EVERY train-state output into a benchmark scalar.
+
+    A chained-scan timing harness must consume params AND batch_stats at
+    the scan output: the cycle forward's head computations are live only
+    through their BN running-stat updates, so a dead batch_stats output
+    lets XLA dead-code-eliminate ~5 TFLOP/step of real training work (the
+    'full' and cycle_light graphs then time identically — the r2
+    benchmark-DCE bug). Used by bench.py and the tools/ harnesses so the
+    rule lives in one place.
+    """
+    for leaf in jax.tree_util.tree_leaves(state.params):
+        tot = tot + jnp.max(jnp.abs(leaf)).astype(jnp.float32)
+    for leaf in jax.tree_util.tree_leaves(state.batch_stats):
+        tot = tot + jnp.mean(leaf).astype(jnp.float32)
+    return tot
 
 
 def flops_of(fn: Callable[..., Any], *args) -> float | None:

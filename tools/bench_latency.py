@@ -61,9 +61,11 @@ def main() -> int:
         float(out["loss"])  # scalar fetch — blocks on the whole step
         samples.append((time.perf_counter() - t0) * 1e3)
     samples.sort()
-    rec = {
-        "p50_ms": round(samples[len(samples) // 2], 1),
-        "p90_ms": round(samples[int(len(samples) * 0.9)], 1),
+    import math
+    n = len(samples)
+    rec = {  # nearest-rank percentiles: index ceil(q*n) - 1
+        "p50_ms": round(samples[math.ceil(0.5 * n) - 1], 1),
+        "p90_ms": round(samples[math.ceil(0.9 * n) - 1], 1),
         "min_ms": round(samples[0], 1),
         "frames_per_clip": v * t,
     }

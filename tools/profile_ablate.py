@@ -72,14 +72,15 @@ def main() -> int:
         state = fresh_state()
 
         def chained(state, b, k):
+            from glfusion_tpu.utils.profiling import consume_state
+
             def body(carry, i):
                 st, s = step_like(carry, b, jax.random.fold_in(k, i))
                 return st, s
             st, vals = jax.lax.scan(body, state, jnp.arange(iters))
-            tot = jnp.sum(vals)
-            for leaf in jax.tree_util.tree_leaves(st.params):
-                tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
-            return tot
+            # consume_state keeps BN-stat-only-live work (cycle heads)
+            # from being DCE'd — the bug this tool exists to expose
+            return consume_state(jnp.sum(vals), st)
 
         comp = jax.jit(chained).lower(state, batch_i, rng).compile()
         float(comp(state, batch_i, rng))

@@ -3,7 +3,9 @@
 
 Times each backbone stage, the ASPP head, and the TPAVI fusion at the
 cycle-forward shape (V=3 views x T=40 frames — the 76%-of-step path,
-BASELINE.md "Step decomposition"), fwd and fwd+bwd, in bf16. Reports
+BASELINE.md "Step decomposition"), fwd and fwd+bwd, in bf16, in
+TRAIN mode (batch-stat BN + dropout — the graph the step optimizes;
+an earlier revision timed eval-mode BN, which under-counts). Reports
 XLA-cost-analysis FLOPs and the implied fraction of v5e bf16 peak per
 stage, so optimization effort goes where the cycles are.
 
@@ -55,21 +57,39 @@ def main() -> int:
     rows = []
 
     def bench_module(label, module, x, iters=8):
-        variables = jax.jit(lambda k: module.init(k, x, False))(
-            jax.random.PRNGKey(0))
-        fwd = lambda v_, a: module.apply(v_, a, False)
-        t = time_fn(fwd, variables, x, iters=iters)
-        fl = flops_of(fwd, variables, x)
+        """Times the TRAIN-mode graph (batch-stat BN, dropout, the
+        three-matmul TPAVI path) — the 76%-of-step cycle forward this
+        tool exists to attribute. The batch_stats updates are part of
+        time_fn's consumed outputs, so stat maintenance is included."""
+        rng = jax.random.PRNGKey(0)
+        variables = jax.jit(
+            lambda k: module.init(
+                {"params": k, "dropout": jax.random.fold_in(k, 1)},
+                x, True))(rng)
+        params = variables["params"]
+        bstats = variables.get("batch_stats", {})
+
+        def fwd(p, bs, a):
+            return module.apply(
+                {"params": p, "batch_stats": bs}, a, True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(2)})
+
+        t = time_fn(fwd, params, bstats, x, iters=iters)
+        fl = flops_of(fwd, params, bstats, x)
         rows.append(_table_row(f"{label} fwd", t, fl))
 
-        def loss(v_, a):
-            out = fwd(v_, a)
-            return jnp.sum(jax.tree_util.tree_leaves(out)[0]
-                           .astype(jnp.float32) ** 2)
+        def loss(p, bs, a):
+            out, upd = fwd(p, bs, a)
+            tot = jnp.sum(jax.tree_util.tree_leaves(out)[0]
+                          .astype(jnp.float32) ** 2)
+            for leaf in jax.tree_util.tree_leaves(upd):
+                tot += jnp.mean(leaf).astype(jnp.float32)
+            return tot
 
-        gf = jax.grad(loss, argnums=(0, 1))
-        t2 = time_fn(gf, variables, x, iters=iters)
-        fl2 = flops_of(gf, variables, x)
+        gf = jax.grad(loss, argnums=(0, 2))
+        t2 = time_fn(gf, params, bstats, x, iters=iters)
+        fl2 = flops_of(gf, params, bstats, x)
         rows.append(_table_row(f"{label} fwd+bwd", t2, fl2))
 
     # ---- backbone stages at the cycle shapes (V, T, ., ., C) ----

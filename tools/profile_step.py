@@ -60,18 +60,13 @@ def main() -> int:
         step = make_train_step(cfg_i, model, fuse_preprocess=True)
 
         def chained(state, b, k):
+            from glfusion_tpu.utils.profiling import consume_state
+
             def body(carry, i):
                 st, m = step(carry, b, jax.random.fold_in(k, i))
                 return st, m["loss"]
             st, losses = jax.lax.scan(body, state, jnp.arange(iters))
-            # params AND batch_stats must be consumed: the cycle heads are
-            # live only through BN stat updates and get DCE'd otherwise
-            tot = jnp.sum(losses)
-            for leaf in jax.tree_util.tree_leaves(st.params):
-                tot += jnp.max(jnp.abs(leaf)).astype(jnp.float32)
-            for leaf in jax.tree_util.tree_leaves(st.batch_stats):
-                tot += jnp.mean(leaf).astype(jnp.float32)
-            return tot
+            return consume_state(jnp.sum(losses), st)
 
         import time as _t
         comp = jax.jit(chained).lower(state, batch_i, rng).compile()
