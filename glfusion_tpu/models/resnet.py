@@ -22,12 +22,50 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from glfusion_tpu.ops.pooling import max_pool_3x3_s2
 
 _BN = dict(epsilon=1e-5, momentum=0.9)  # flax momentum 0.9 == torch momentum 0.1
+
+
+def _stem_conv(module: nn.Module, x: jnp.ndarray, stem_width: int,
+               dtype, im2col: bool) -> jnp.ndarray:
+    """The IEKD 7×7 stride-1 pad-2 biased stem conv.
+
+    im2col=True lowers it as conv_general_dilated_patches + one einsum.
+    Measured verdict (r2): under the flagship's per-view ``nn.vmap`` the
+    Cin=1 native conv lowers as a slow grouped conv and the im2col form
+    wins IN ISOLATION (fwd+bwd 15.1 vs 21.4 ms at the 120-frame cycle
+    shape) — but in the FULL train step it is a net loss (0.3736 vs
+    0.3693 s; the (V,B,110,110,49) patches temp adds ~350 MB under an
+    already HBM-pressured graph) and inference is within noise. Default
+    False; the lowering is kept for configurations with spare HBM. Same
+    math, f32 accumulation; summation order differs from the native conv
+    by float reassociation only. The parameter tree
+    ('stem_conv/{kernel,bias}', shapes, init) is identical to the nn.Conv
+    form, so checkpoints and the torch converter are unaffected.
+    """
+    cin = x.shape[-1]
+    sc = module.scope.push("stem_conv")
+    kernel = sc.param("kernel", nn.initializers.lecun_normal(),
+                      (7, 7, cin, stem_width))
+    bias = sc.param("bias", nn.initializers.zeros, (stem_width,))
+    if not im2col:
+        return jax.lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), (1, 1), ((2, 2), (2, 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias.astype(dtype)
+    cols = jax.lax.conv_general_dilated_patches(
+        x.astype(dtype), (7, 7), (1, 1), ((2, 2), (2, 2)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))  # (..., Cin*49)
+    # patches order channels as (Cin, 7, 7) spatial-minor
+    wk = kernel.astype(dtype).transpose(2, 0, 1, 3).reshape(
+        cin * 49, stem_width)
+    y = jnp.einsum("bhwk,ko->bhwo", cols, wk,
+                   preferred_element_type=jnp.float32)
+    return y.astype(dtype) + bias.astype(dtype)
 
 
 class Bottleneck(nn.Module):
@@ -78,13 +116,12 @@ class IEKDStem(nn.Module):
 
     stem_width: int = 64
     dtype: str = "float32"
+    stem_im2col: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dtype = jnp.dtype(self.dtype)
-        x = nn.Conv(self.stem_width, (7, 7), strides=(1, 1),
-                    padding=((2, 2), (2, 2)), use_bias=True, dtype=dtype,
-                    name="stem_conv")(x)
+        x = _stem_conv(self, x, self.stem_width, dtype, self.stem_im2col)
         x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
                          name="stem_bn", **_BN)(x)
         return max_pool_3x3_s2(nn.relu(x))
@@ -155,6 +192,9 @@ class ResNetIEKD(nn.Module):
     # per-stage remat mask (len == len(block_sizes)); None → all stages
     # when remat=True
     remat_stages: Sequence[bool] | None = None
+    # im2col lowering for the 1-channel stem conv (see _stem_conv):
+    # isolated-vmap win, full-graph loss under HBM pressure — default off
+    stem_im2col: bool = False
     # return a dict of tap activations ({"stem", "layer1".."layer4"}) instead
     # of only layer4 (multi-stage fusion, reference models/ours.py model20;
     # IEKD layer taps, reference models/_utils.py:222-231)
@@ -164,9 +204,7 @@ class ResNetIEKD(nn.Module):
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dtype = jnp.dtype(self.dtype)
         # Stem: 7×7 s1 p2 with bias (the IEKD swap), BN, ReLU, maxpool 3×3 s2 p1.
-        x = nn.Conv(self.stem_width, (7, 7), strides=(1, 1),
-                    padding=((2, 2), (2, 2)), use_bias=True, dtype=dtype,
-                    name="stem_conv")(x)
+        x = _stem_conv(self, x, self.stem_width, dtype, self.stem_im2col)
         x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
                          name="stem_bn", **_BN)(x)
         x = nn.relu(x)
