@@ -217,3 +217,41 @@ def test_multiview_unet_shapes(fuse):
     out = model.apply(vars_, x, False)
     assert out["mask"].shape == (3, 2, 32, 32, 5)
     assert out["bottleneck"].shape == (3, 2, 2, 2, 20)
+
+
+def test_remat_stages_mask_and_validation():
+    """Per-stage remat masks (ModelConfig.remat_stages): a partial mask
+    trains (grads flow, remat is bit-exact recompute), and a mask whose
+    length mismatches block_sizes raises at trace time instead of an
+    opaque IndexError mid-trace."""
+    import numpy as np
+    import pytest
+
+    from glfusion_tpu.models.resnet import ResNetIEKD
+
+    kw = dict(stem_width=4, block_sizes=(1, 1, 1, 1), widths=(2, 4, 6, 8))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1), jnp.float32)
+
+    plain = ResNetIEKD(**kw)
+    v = plain.init(jax.random.PRNGKey(0), x, False)
+    ref = plain.apply(v, x, False)
+
+    masked = ResNetIEKD(**kw, remat=True,
+                        remat_stages=(True, True, False, False))
+    # same params apply (remat recomputes the same math)
+    out = masked.apply(v, x, False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss(p):
+        o, _ = masked.apply({"params": p, "batch_stats": v["batch_stats"]},
+                            x, True, mutable=["batch_stats"])
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(leaf)).all()
+               for leaf in jax.tree_util.tree_leaves(g))
+
+    bad = ResNetIEKD(**kw, remat_stages=(True, False))
+    with pytest.raises(ValueError, match="remat_stages"):
+        bad.init(jax.random.PRNGKey(0), x, False)
