@@ -41,7 +41,7 @@ def main() -> int:
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, dtype="bfloat16"),
+        model=dataclasses.replace(cfg.model, dtype="bfloat16", remat=True),
         data=dataclasses.replace(cfg.data, clip_length=clip_len),
         train=dataclasses.replace(cfg.train, batch_size=batch))
     model = GlobalAndLocal(cfg.model)
