@@ -75,3 +75,46 @@ def test_sharded_forward_matches_unsharded():
     np.testing.assert_allclose(run(8, 1), base, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(run(2, 4), base, atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(run(4, 2), base, atol=1e-4, rtol=1e-4)
+
+
+def test_sharded_train_step_compiles_with_collectives():
+    """The data-parallel gradient reduction must materialize as real
+    cross-device collectives: lowering the train step over a (data=4,
+    model=2) mesh with sharded params/batch must produce an executable
+    containing all-reduce ops (GSPMD inserts them for the grad psum and
+    the TP-sharded contractions). Guards against a silent regression to
+    fully-replicated execution (which would still be numerically correct
+    on the virtual mesh but would not scale)."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, widths=(8, 16, 32, 64)))
+    model = GlobalAndLocal(cfg.model)
+    mesh = make_mesh(data=4, model=2)
+    hw, t, v = cfg.data.crop_hw, cfg.data.clip_length, cfg.model.num_views
+    x = jax.random.normal(jax.random.PRNGKey(0), (v, 4, hw, hw, 1))
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(1))
+    variables = shard_variables(variables, mesh)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 10))
+    batch = shard_batch({
+        "images": x,
+        "masks": (jax.random.uniform(jax.random.PRNGKey(2),
+                                     (v, 4, hw, hw, 5)) > 0.5).astype(
+                                         jnp.float32),
+        "clips": jax.random.uniform(jax.random.PRNGKey(3),
+                                    (v, t, hw, hw, 1)),
+    }, mesh, batch_axis=1)
+    step = make_train_step(cfg, model)
+    hlo = jax.jit(lambda s, b, k: step(s, b, k)).lower(
+        state, batch, jax.random.PRNGKey(4)).compile().as_text()
+    assert "all-reduce" in hlo, "no cross-device collectives in the step"
