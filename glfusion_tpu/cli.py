@@ -35,11 +35,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--views", default="1,3,4",
                    help="comma-separated view ids (reference main.py:918)")
+    from glfusion_tpu.models.registry import SEG_ARCHS
     p.add_argument("--model", default="glfusion",
-                   choices=["glfusion", "unet", "multiview_unet", "utnet",
-                            "cen"],
-                   help="trainable architecture (models/registry.py); the "
-                        "reference can only train Global_and_Local")
+                   choices=list(SEG_ARCHS),
+                   help="trainable architecture (models/registry.py): the "
+                        "flagship, the baselines, the AVS family "
+                        "(avs_baseline/avs_transfusion/avs_model17/"
+                        "avs_pred_endecoder) and the legacy model3..21 "
+                        "family (legacy:<kind>); the reference can only "
+                        "train Global_and_Local")
     p.add_argument("--reg-model", default="resnet50pah",
                    choices=["resnet50pah", "r2plus1d", "timesformer"],
                    help="regression architecture for --mode reg-*")
@@ -48,7 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--variant", default="global_and_local",
                    choices=["global_and_local", "global_only", "local_only",
                             "no_fusion", "conv_merge", "fg_bg",
-                            "early_fusion", "late_fusion", "cps"])
+                            "early_fusion", "late_fusion", "cps",
+                            "temporal"],
+                   help="'temporal' = Global_and_Local_Temporal intent "
+                        "(reference ours.py:1846): cycle clips run video "
+                        "attention over T·V·h·w tokens")
     p.add_argument("--clip-length", type=int, default=40)
     p.add_argument("--no-cycle", action="store_true",
                    help="disable the temporal cycle-consistency loss")
@@ -63,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="restore latest checkpoint before training"
                         " (reference is_load, main.py:74)")
+    p.add_argument("--torch-ckpt", default=None,
+                   help="load a reference PyTorch .pth checkpoint (converted "
+                        "via utils/torch_convert) instead of an Orbax one — "
+                        "the reference eval loads net_XXXXX.pth the same way "
+                        "(main.py:454-457); glfusion arch only")
     p.add_argument("--out-dir", default="./predictions",
                    help="infer-mode output directory for predicted masks")
     p.add_argument("--method-name", default="glfusion_tpu",
@@ -81,6 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (saves activation "
                         "HBM at ~30%% extra FLOPs)")
+    p.add_argument("--stem-pallas", action="store_true",
+                   help="Pallas fused stem kernel (conv+BN+ReLU+maxpool in "
+                        "one HBM pass; ops/stem_pallas.py)")
     p.add_argument("--eval-every", type=int, default=1,
                    help="epochs between in-training validations")
     p.add_argument("--save-every", type=int, default=1,
@@ -100,6 +116,11 @@ def config_from_args(args: argparse.Namespace) -> Config:
     from glfusion_tpu.config import ALL_VIEWS
 
     cfg = tiny_config() if args.tiny else Config()
+    # 'temporal' is a TRAIN-side switch on the plain model (the cycle
+    # forward folds frames into attention tokens), not a graph variant
+    temporal = args.variant == "temporal"
+    if temporal:
+        args.variant = "global_and_local"
     views = tuple(args.views.split(","))
     bad = [v for v in views if v not in ALL_VIEWS]
     if bad:
@@ -114,7 +135,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model=dataclasses.replace(
             cfg.model, views=views, variant=args.variant, arch=args.model,
             dtype=(args.dtype or cfg.model.dtype),
-            remat=args.remat or cfg.model.remat),
+            remat=args.remat or cfg.model.remat,
+            stem_pallas=args.stem_pallas or cfg.model.stem_pallas),
         data=dataclasses.replace(cfg.data, root=args.data_root,
                                  clip_length=(
                                      args.clip_length
@@ -136,6 +158,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             use_cycle=not args.no_cycle,
             dense_cyc=args.dense_cyc,
             cycle_light=args.cycle_light,
+            temporal=temporal,
             save_dir=args.save_dir,
             log_dir=args.log_dir,
             test_views=views,
@@ -222,7 +245,9 @@ def main(argv=None) -> int:
     from glfusion_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg, data_paths=data_paths)
-    if args.resume or args.mode in ("val", "visual", "infer"):
+    if args.torch_ckpt is not None:
+        trainer.load_torch_checkpoint(args.torch_ckpt)
+    elif args.resume or args.mode in ("val", "visual", "infer"):
         trainer.load_latest()
 
     if args.mode == "train":

@@ -67,6 +67,10 @@ class ModelConfig:
     # O(N·C'²) contraction (ops/nonlocal_attn.py) is mathematically equal and
     # cheaper; flip on for parity-exact eval or when benchmarks favor it.
     use_pallas_fusion: bool = False
+    # Pallas fused stem kernel (ops/stem_pallas.py): 7×7 conv + train-BN +
+    # ReLU + maxpool in one HBM pass, attacking the measured bandwidth
+    # floor of the stride-1-stem design (BASELINE.md stem/layer1 rows).
+    stem_pallas: bool = False
     # Rematerialize backbone stages to trade FLOPs for HBM (28×28×2048 maps).
     remat: bool = False
     # Per-stage remat override (len == len(block_sizes)); None → every stage
@@ -139,6 +143,12 @@ class TrainConfig:
     # compared two graphs both silently dead-code-eliminated by an unsound
     # benchmark harness). glfusion arch only.
     cycle_light: bool = False
+    # Global_and_Local_Temporal intent (reference models/ours.py:1846-1980;
+    # its ``.shape(...)`` bug at :1962 means the video-attention path never
+    # ran there): cycle-clip forwards fold the T frames into the attention
+    # token axis (tokens = T·V·h·w) instead of treating frames as batch.
+    # Supervised frames keep the per-frame graph. glfusion arch only.
+    temporal: bool = False
     # cross-pseudo-supervision weight for the CPS twin (the reference ships
     # Global_and_Local_CPS, models/ours.py:3141, without a training path;
     # 1.0 follows the CPS paper's default trade-off)

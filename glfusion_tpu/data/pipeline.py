@@ -86,10 +86,16 @@ class SegFrameLoader:
         # Caching raw decoded volumes instead would not scale: the corpus's
         # 800×600×~127 videos are ~240 MB each as f32.
         import collections
+        import threading
         self._cache: "collections.OrderedDict[tuple, tuple]" = (
             collections.OrderedDict())
         self._cache_bytes = cache_bytes
         self._cache_used = 0
+        # guards the LRU dict: the epoch loop's prefetch thread and the
+        # warm_async ingest thread fill it concurrently (decode runs
+        # outside the lock; only dict mutation is serialized)
+        self._cache_lock = threading.Lock()
+        self._warm_stop = threading.Event()
 
     def __len__(self) -> int:
         n = len(self.ids)
@@ -113,19 +119,23 @@ class SegFrameLoader:
                 _resize_nearest_np(lab, (r, r)), labeled)
 
     def _put(self, key, entry):
-        if key in self._cache:
-            self._cache_used -= self._entry_bytes(self._cache.pop(key))
-        self._cache[key] = entry
-        self._cache_used += self._entry_bytes(entry)
-        while self._cache_used > self._cache_bytes and len(self._cache) > 1:
-            _, old = self._cache.popitem(last=False)
-            self._cache_used -= self._entry_bytes(old)
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache_used -= self._entry_bytes(self._cache.pop(key))
+            self._cache[key] = entry
+            self._cache_used += self._entry_bytes(entry)
+            while (self._cache_used > self._cache_bytes
+                   and len(self._cache) > 1):
+                _, old = self._cache.popitem(last=False)
+                self._cache_used -= self._entry_bytes(old)
 
     def _prefill(self, keys) -> None:
         """Decode a batch's uncached files in one parallel native read."""
         missing, paths = [], []
+        with self._cache_lock:
+            cached = set(self._cache)
         for key in keys:
-            if key in self._cache:
+            if key in cached:
                 continue
             img_p, lab_p = self.index.view_paths(*key)
             if img_p is None:
@@ -149,9 +159,10 @@ class SegFrameLoader:
     def _load(self, pid: str, view: str):
         """(resized_images (R,R,T), resized_labels (R,R,T), labeled_idx)."""
         key = (pid, view)
-        if key in self._cache:
-            self._cache.move_to_end(key)
-            return self._cache[key]
+        with self._cache_lock:
+            if key in self._cache:
+                self._cache.move_to_end(key)
+                return self._cache[key]
         img_p, lab_p = self.index.view_paths(pid, view)
         if img_p is None:
             entry = (None, None, None)
@@ -159,6 +170,60 @@ class SegFrameLoader:
             entry = self._make_entry(read_nifti(img_p), read_nifti(lab_p))
         self._put(key, entry)
         return entry
+
+    def epoch_keys(self, epoch: int = 0):
+        """The (pid, view) access sequence of ``batches(...)`` for one
+        epoch, deduplicated in first-use order — the warm thread follows
+        it so the earliest-needed files decode first."""
+        rs = np.random.RandomState(self.seed + epoch if self.is_train
+                                   else self.seed)
+        order = np.arange(len(self))
+        if self.is_train:
+            rs.shuffle(order)
+        seen, keys = set(), []
+        for oi in order:
+            pid = self.ids[oi % len(self.ids)]
+            for view in self.views:
+                if (pid, view) not in seen:
+                    seen.add((pid, view))
+                    keys.append((pid, view))
+        return keys
+
+    def warm_async(self, epoch: int = 0, chunk: int = 8):
+        """Background-fill the LRU while the first train step compiles.
+
+        First-epoch ingest was fully serial with compilation (measured
+        321 s for the 534-video rehearsal corpus, BASELINE.md): the
+        prefetch thread only runs ``depth`` batches ahead, so the
+        minutes-long first XLA compile bought no decode progress. This
+        daemon thread walks the epoch's access order through the native
+        thread-pool reader. Idempotent with the epoch loop's own
+        ``_prefill`` (both take the cache lock); returns the thread, or
+        None when the corpus is empty.
+        """
+        import threading
+
+        keys = self.epoch_keys(epoch)
+        if not keys:
+            return None
+        self._warm_stop.clear()
+
+        def run():
+            for i in range(0, len(keys), chunk):
+                if self._warm_stop.is_set():
+                    return
+                try:
+                    self._prefill(keys[i:i + chunk])
+                except Exception:
+                    return  # warming is best-effort; _load covers misses
+
+        t = threading.Thread(target=run, daemon=True,
+                             name="glfusion-warm-ingest")
+        t.start()
+        return t
+
+    def stop_warming(self):
+        self._warm_stop.set()
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
         rs = np.random.RandomState(self.seed + epoch if self.is_train

@@ -212,6 +212,10 @@ class PredEndecoder(nn.Module):
     num_classes: int = 5
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks: Sequence[int] = (3, 4, 6, 3)
+    # also return the deepest (post-fusion) stage features — the registry
+    # adapter pools them for the cycle loss (the reference never trains this
+    # family, so the feature tap is the TPU-side training contract)
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, main, other, train: bool = False):
@@ -242,7 +246,10 @@ class PredEndecoder(nn.Module):
         y = FeatureFusionBlock(self.channel, t3, name="path3")(y, fm[2])
         y = FeatureFusionBlock(self.channel, t2, name="path2")(y, fm[1])
         y = FeatureFusionBlock(self.channel, t1, name="path1")(y, fm[0])
-        return OutputHead(self.num_classes, name="output_conv")(y)
+        out = OutputHead(self.num_classes, name="output_conv")(y)
+        if self.return_features:
+            return out, fm[3]
+        return out
 
 
 class AVSTransfusion(nn.Module):
@@ -264,6 +271,9 @@ class AVSTransfusion(nn.Module):
     blocks: Sequence[int] = (3, 4, 6, 3)
     fusion: str = "transformer"  # 'transformer' | 'tpavi'
     per_view_params: bool = False
+    # also return the deepest (post-fusion) stage features (V, B, h, w, C)
+    # for the registry adapter's cycle-loss pooling
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -312,7 +322,10 @@ class AVSTransfusion(nn.Module):
             y = paths[2](y, fm[1][vi])
             y = paths[3](y, fm[0][vi])
             outs.append(head(y))
-        return jnp.stack(outs)
+        out = jnp.stack(outs)
+        if self.return_features:
+            return out, fm[3]
+        return out
 
 
 class AVSBaseline(nn.Module):

@@ -92,7 +92,100 @@ class _CENAdapter(nn.Module):
                 "alpha": alpha}
 
 
-SEG_ARCHS = ("glfusion", "unet", "multiview_unet", "utnet", "cen")
+class _AVSAdapter(nn.Module):
+    """AVS family (reference ResNet_AVSModel.py) under the multi-view
+    contract. flavors:
+
+      'baseline'     → AVS_baseline (:791): per-view decode, no fusion
+      'transfusion'  → AVS_Transfusion (:416): shared B2-ResNet, per-stage
+                       channel-transformer fusion
+      'model17'      → model17 (:603): per-view B2-ResNets, per-stage
+                       multi-view TPAVI
+      'pred_endecoder' → Pred_endecoder (:158): 2-stream cross-view TPAVI;
+                       adapted to V views by decoding EACH view as 'main'
+                       with its ring neighbor as 'other' (shared weights)
+
+    The deepest post-fusion stage features serve as cycle-loss features
+    (the reference never trains this family — its entry point hard-codes
+    Global_and_Local — so the feature tap is this repo's train contract).
+    """
+
+    cfg: ModelConfig
+    flavor: str
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        from glfusion_tpu.models.avs import AVSTransfusion, PredEndecoder
+
+        hh, ww = x.shape[2], x.shape[3]
+        kw = dict(channel=self.cfg.aspp_channels,
+                  num_classes=self.cfg.num_classes,
+                  widths=tuple(self.cfg.widths),
+                  blocks=tuple(self.cfg.block_sizes),
+                  return_features=True)
+        if self.flavor == "pred_endecoder":
+            net = PredEndecoder(**kw, name="net")
+            v = x.shape[0]
+            masks, feats = [], []
+            for vi in range(v):
+                m, f = net(x[vi], x[(vi + 1) % v], train)
+                masks.append(m)
+                feats.append(f)
+            mask, feat = jnp.stack(masks), jnp.stack(feats)
+        else:
+            flavor_kw = {
+                "baseline": dict(fuse_stages=()),
+                "transfusion": dict(fusion="transformer"),
+                "model17": dict(fusion="tpavi", per_view_params=True),
+            }[self.flavor]
+            mask, feat = AVSTransfusion(**kw, **flavor_kw, name="net")(
+                x, train)
+        if mask.shape[2:4] != (hh, ww):
+            mask = resize_bilinear(mask, (hh, ww))
+        return {"mask": mask, "mask_bb": mask,
+                "f4_global": feat, "f4_local": feat}
+
+
+class _LegacyAdapter(nn.Module):
+    """model3..model21 family (models/legacy_variants.py) under the Trainer
+    contract; the post-fusion f4 serves as cycle features (what the
+    reference's train loop would pool, main.py:229)."""
+
+    cfg: ModelConfig
+    kind: str
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        from glfusion_tpu.models.legacy_variants import LegacyMultiviewSeg
+
+        kind_kw = {
+            # Mutiview_Model :142 / model6 :466 / model7 :509
+            "none": dict(fusion="none"),
+            # model3 :386 / model8 :640 / model12 :719
+            "channel_transformer": dict(fusion="channel_transformer"),
+            # model19 :976
+            "tpavi": dict(fusion="tpavi"),
+            # model18 :919
+            "model18": dict(fusion="tpavi", shared_classifier=True),
+            # model20 :1109 (stage-interleaved fusion)
+            "model20": dict(fusion="tpavi", fusion_stages=(1, 2, 3, 4)),
+            # model21 :1193 / model21_for_specific_view :1268
+            "decouple": dict(fusion="decouple_tpavi", shared_backbone=True,
+                             shared_classifier=True),
+            # MLP_fusion :1044
+            "mlp_concat": dict(fusion="mlp_concat"),
+        }[self.kind]
+        out = LegacyMultiviewSeg(self.cfg, **kind_kw, name="net")(x, train)
+        return {"mask": out["mask"], "mask_bb": out["mask"],
+                "f4_global": out["f4_fusion"], "f4_local": out["f4_fusion"]}
+
+
+AVS_FLAVORS = ("baseline", "transfusion", "model17", "pred_endecoder")
+LEGACY_KINDS = ("none", "channel_transformer", "tpavi", "model18", "model20",
+                "decouple", "mlp_concat")
+SEG_ARCHS = (("glfusion", "unet", "multiview_unet", "utnet", "cen")
+             + tuple(f"avs_{f}" for f in AVS_FLAVORS)
+             + tuple(f"legacy:{k}" for k in LEGACY_KINDS))
 
 
 def build_seg_model(mcfg: ModelConfig) -> Tuple[nn.Module, bool]:
@@ -112,6 +205,10 @@ def build_seg_model(mcfg: ModelConfig) -> Tuple[nn.Module, bool]:
         return _UTNetAdapter(mcfg), False
     if arch == "cen":
         return _CENAdapter(mcfg), False
+    if arch.startswith("avs_") and arch[4:] in AVS_FLAVORS:
+        return _AVSAdapter(mcfg, flavor=arch[4:]), False
+    if arch.startswith("legacy:") and arch[7:] in LEGACY_KINDS:
+        return _LegacyAdapter(mcfg, kind=arch[7:]), False
     raise ValueError(f"unknown arch {arch!r}; choose from {SEG_ARCHS}")
 
 

@@ -70,7 +70,11 @@ class TPAVI(nn.Module):
             # C → 3·C′ matmul (weights concatenated at apply time via the
             # scope API, so the parameter tree, init values, and
             # checkpoint-name mapping are identical to three nn.Dense
-            # calls, and each output channel is the same dot product). One
+            # calls; outputs are mathematically identical — each output
+            # channel is the same dot product, differing from the split
+            # form by float reassociation only, so bitwise equality is
+            # backend-dependent: confirmed for f32 CPU, not guaranteed for
+            # the wider bf16 matmul's tiling). One
             # read of the (B·N, C) token matrix instead of three:
             # measured +1.4 % inference throughput; the fused form's
             # backward measured ~2 % slower, so training keeps the

@@ -93,6 +93,11 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
             cyc_loss = jnp.float32(0.0)
             if tc.use_cycle and "clips" in batch:
                 light = {"features_only": True} if tc.cycle_light else {}
+                if tc.temporal:
+                    # Global_and_Local_Temporal: fold the clip's T frames
+                    # into the attention token axis (reference intent,
+                    # models/ours.py:1959-1980)
+                    light["is_video"] = True
                 out2, upd2 = model.apply(
                     {"params": params, "batch_stats": bstats},
                     batch["clips"], True, mutable=["batch_stats"],

@@ -85,6 +85,12 @@ class Trainer:
                 "cycle_light requires the plain glfusion arch "
                 "(non-CPS, non-fg_bg): the fast cycle forward computes "
                 "f4_global directly")
+        if cfg.train.temporal and (cfg.model.arch != "glfusion"
+                                   or self._cps):
+            raise ValueError(
+                "temporal (video attention on cycle clips) requires the "
+                "plain glfusion arch: only GlobalAndLocal folds frames "
+                "into the attention token axis (is_video)")
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         hw = cfg.data.crop_hw
@@ -125,28 +131,58 @@ class Trainer:
         self._log(f"restored checkpoint at epoch {self.epoch}")
         return True
 
+    def load_torch_checkpoint(self, path: str) -> None:
+        """Ingest a reference PyTorch ``net_XXXXX.pth`` (main.py:454-457).
+
+        Converts the state dict (utils/torch_convert: per-view ModuleDict
+        de-interleave → stacked-parameter axis) and replaces params +
+        batch_stats, re-applying the mesh sharding rules. Optimizer state
+        is untouched (the reference never saved it either, main.py:869).
+        """
+        if self.cfg.model.arch != "glfusion" or self._cps:
+            raise ValueError("--torch-ckpt requires the plain glfusion arch "
+                             "(the converter maps Global_and_Local's "
+                             "state-dict names)")
+        from glfusion_tpu.utils.torch_convert import load_torch_checkpoint
+
+        converted = load_torch_checkpoint(path, self.cfg.model)
+        converted = shard_variables(converted, self.mesh)
+        self.state = self.state.replace(params=converted["params"],
+                                        batch_stats=converted["batch_stats"])
+        self._log(f"loaded + converted torch checkpoint {path}")
+
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.train.num_epochs
         last = {}
-        for epoch in range(self.epoch, num_epochs):
-            self.epoch = epoch
-            t0 = time.time()
-            epoch_metrics = self._train_epoch(epoch)
-            epoch_metrics["epoch_time_s"] = time.time() - t0
-            last = epoch_metrics
-            self._write_log({"epoch": epoch, **epoch_metrics})
-            self._log(
-                f"epoch {epoch}: loss={epoch_metrics['loss']:.1f} "
-                f"seg={epoch_metrics['seg_loss']:.1f} "
-                f"cyc={epoch_metrics['cyc_loss']:.4f} "
-                f"dice={epoch_metrics['dice']:.4f} "
-                f"({epoch_metrics['epoch_time_s']:.1f}s)")
-            if (epoch + 1) % cfg.train.eval_every_epochs == 0:
-                self.validation_and_test()
-            if (epoch + 1) % cfg.train.save_every_epochs == 0:
-                self.ckpt.save(self.state, epoch)  # async; flushed below
-        self.ckpt.wait()  # make every in-flight async save durable
+        # overlap first-epoch ingest with the (minutes-long, full-size)
+        # first train-step compile: a background thread pre-decodes the
+        # epoch's corpus through the native reader into the LRU
+        self.train_loader.warm_async(self.epoch)
+        try:
+            for epoch in range(self.epoch, num_epochs):
+                self.epoch = epoch
+                t0 = time.time()
+                epoch_metrics = self._train_epoch(epoch)
+                epoch_metrics["epoch_time_s"] = time.time() - t0
+                last = epoch_metrics
+                self._write_log({"epoch": epoch, **epoch_metrics})
+                self._log(
+                    f"epoch {epoch}: loss={epoch_metrics['loss']:.1f} "
+                    f"seg={epoch_metrics['seg_loss']:.1f} "
+                    f"cyc={epoch_metrics['cyc_loss']:.4f} "
+                    f"dice={epoch_metrics['dice']:.4f} "
+                    f"({epoch_metrics['epoch_time_s']:.1f}s)")
+                if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                    self.validation_and_test()
+                if (epoch + 1) % cfg.train.save_every_epochs == 0:
+                    self.ckpt.save(self.state, epoch)  # async; flushed below
+        finally:
+            self.train_loader.stop_warming()
+            # flush even when an exception (OOM, Ctrl-C) escapes the epoch
+            # loop — the last async checkpoint must become durable exactly
+            # when the run dies
+            self.ckpt.wait()
         return last
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -191,14 +227,63 @@ class Trainer:
         }
 
     def validation_and_test(self) -> Dict[str, dict]:
-        """In-training eval over the fixed clip split (main.py:279-416)."""
+        """In-training eval over the fixed clip split (main.py:279-416),
+        plus frame-level metrics over the val-split patients (the reference
+        builds the same per-view val datasets at main.py:123-127; its second
+        protocol over them, ``raw_data=False`` main.py:281-315, could never
+        run — its data file is absent from the reference repo — so the
+        frame-level eval here is the working equivalent)."""
         results = {}
         for name, ids in (("Inner-val", VAL_CLIPS), ("Inner-test", TEST_CLIPS)):
             ids = [i for i in ids if i in self.test_infos]
             if not ids:
                 continue
             results[name] = self.evaluate_clips(ids, name)
+        if len(self.valid_loader) > 0:
+            results["Val-frames"] = self.evaluate_val_frames()
         return results
+
+    def evaluate_val_frames(self, tag: str = "Val-frames") -> dict:
+        """Frame-level eval over the val_list patients (labeled frames,
+        deterministic center crop). Uses the same jitted eval step as the
+        clip protocol; counts accumulate on device."""
+        from glfusion_tpu.data.pipeline import preprocess_batch
+        from glfusion_tpu.data.prefetch import prefetch
+
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.train.seed)  # unused (is_train=False)
+        acc = None
+        frames = 0
+        for host_batch in prefetch(
+                self.valid_loader.batches(cfg.train.batch_size)):
+            pre = preprocess_batch(
+                rng, jnp.asarray(host_batch["images_raw"]),
+                jnp.asarray(host_batch["masks_raw"]),
+                crop_hw=cfg.data.crop_hw, is_train=False,
+                view_ids=self.view_ids)
+            batch = shard_batch(pre, self.mesh, batch_axis=1)
+            out = self.eval_step(self.state, batch)
+            out = {"loss": out["loss"], "counts": out["counts"]}
+            acc = out if acc is None else jax.tree_util.tree_map(
+                jnp.add, acc, out)
+            frames += host_batch["images_raw"].shape[1]
+        if acc is None:
+            return {"loss": 0.0, "frames": 0, "views": {}}
+        acc = jax.device_get(acc)
+        report = {"loss": float(acc["loss"]), "frames": frames, "views": {}}
+        for vi, view in enumerate(cfg.model.views):
+            m = overlap_metrics({k: jnp.float32(acc["counts"][k][vi])
+                                 for k in acc["counts"]})
+            report["views"][view] = {k: float(val) for k, val in m.items()}
+            self._log(
+                f"------ {tag} view {view} ------ "
+                f"Dice {report['views'][view]['dice']:.4f} "
+                f"PixelAcc {report['views'][view]['pixel_acc']:.4f} "
+                f"({frames} frames)")
+        self._write_log({"eval": tag, **{
+            f"dice_{view}": report["views"][view]["dice"]
+            for view in report["views"]}})
+        return report
 
     def evaluate_clips(self, clip_ids, tag: str = "eval") -> dict:
         """Frames-as-batch clip evaluation (main.py:459-543)."""

@@ -146,3 +146,36 @@ def test_converted_params_run_forward():
         {"params": converted["params"],
          "batch_stats": converted["batch_stats"]}, x, False)
     assert out["mask"].shape == (cfg.num_views, 1, 32, 32, 5)
+
+
+def test_cli_torch_ckpt_ingestion(tmp_path):
+    """--torch-ckpt on the main CLI (VERDICT r2 #8): a reference-layout
+    .pth (torch.save({'network': sd})) loads through Trainer so the day
+    the released checkpoint is obtainable, Dice parity is one command."""
+    import torch
+
+    from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+    from glfusion_tpu.train.trainer import Trainer
+
+    cfg = tiny_config()
+    paths = generate_synthetic_dataset(str(tmp_path / "data"), cfg.data,
+                                       views=cfg.model.views, seed=0)
+    model = GlobalAndLocal(cfg.model)
+    x = jnp.zeros((cfg.model.num_views, 1, 32, 32, 1))
+    variables = model.init(jax.random.PRNGKey(11), x, False)
+    sd = fake_reference_state_dict(variables, cfg.model)
+    # eval-side checkpoints carry the DataParallel 'module.' prefix
+    # (reference main.py:456)
+    pth = tmp_path / "net_00042.pth"
+    torch.save({"network": {f"module.{k}": torch.from_numpy(np.asarray(v))
+                            for k, v in sd.items()}}, pth)
+
+    trainer = Trainer(cfg, data_paths=paths, verbose=False)
+    trainer.load_torch_checkpoint(str(pth))
+    got = np.asarray(
+        trainer.state.params["global_attn"]["theta"]["kernel"])
+    want = np.asarray(variables["params"]["global_attn"]["theta"]["kernel"])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # the converted weights drive the real eval path
+    report = trainer.validation_and_test()
+    assert "Inner-val" in report

@@ -270,3 +270,35 @@ def test_seg_loader_cache_is_byte_bounded(synth):
     list(small.batches(2))
     assert len(small._cache) <= 2                  # evicted down to budget
     assert small._cache_used <= budget
+
+
+def test_warm_async_prefills_cache_and_batches_match(synth):
+    """Background ingest warming (VERDICT r2 #7): warm_async decodes the
+    epoch's corpus into the LRU on a daemon thread; batches afterwards are
+    identical to a cold loader's, and the warm covers every key."""
+    from glfusion_tpu.data.pipeline import SegFrameLoader
+
+    cfg, index, train = synth
+    ids = list(index.records)
+    warm = SegFrameLoader(index, ids, ("1", "4"), cfg, is_train=True, seed=3)
+    t = warm.warm_async(epoch=0)
+    if t is not None:
+        t.join(timeout=120)
+        assert not t.is_alive()
+    with warm._cache_lock:
+        cached = set(warm._cache)
+    assert cached == set(warm.epoch_keys(0))
+
+    cold = SegFrameLoader(index, ids, ("1", "4"), cfg, is_train=True, seed=3)
+    for wb, cb in zip(warm.batches(2, epoch=0), cold.batches(2, epoch=0)):
+        np.testing.assert_array_equal(wb["images_raw"], cb["images_raw"])
+        np.testing.assert_array_equal(wb["masks_raw"], cb["masks_raw"])
+
+    # stop flag halts an in-flight warm
+    warm2 = SegFrameLoader(index, ids, ("1", "4"), cfg, is_train=True)
+    warm2.stop_warming()
+    t2 = warm2.warm_async(epoch=0, chunk=1)
+    warm2.stop_warming()
+    if t2 is not None:
+        t2.join(timeout=120)
+        assert not t2.is_alive()

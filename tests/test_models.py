@@ -255,3 +255,151 @@ def test_remat_stages_mask_and_validation():
     bad = ResNetIEKD(**kw, remat_stages=(True, False))
     with pytest.raises(ValueError, match="remat_stages"):
         bad.init(jax.random.PRNGKey(0), x, False)
+
+
+def test_raw_scope_params_match_linen_submodule_trees():
+    """The two places params are created via raw ``scope.push(...).param``
+    (the IEKD stem conv, models/resnet.py _stem_conv; the TPAVI eval-fused
+    θ/φ/g projection, models/tpavi.py) must stay path-, shape-, AND
+    value-identical to the equivalent nn.Conv / nn.Dense submodules, or
+    checkpoints and the torch converter silently break (advisor finding,
+    ADVICE.md r2)."""
+    from flax import linen as nn
+    from flax.traverse_util import flatten_dict
+
+    # --- stem: IEKDStem's scope.push("stem_conv") vs a plain nn.Conv
+    from glfusion_tpu.models.resnet import IEKDStem
+
+    class _LinenStem(nn.Module):
+        @nn.compact
+        def __call__(self, x, train):
+            from glfusion_tpu.models.resnet import _BN
+            from glfusion_tpu.ops.pooling import max_pool_3x3_s2
+            x = nn.Conv(4, (7, 7), padding=((2, 2), (2, 2)),
+                        name="stem_conv")(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             name="stem_bn", **_BN)(x)
+            return max_pool_3x3_s2(nn.relu(x))
+
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1), jnp.float32)
+    raw = IEKDStem(stem_width=4).init(jax.random.PRNGKey(7), x, False)
+    lin = _LinenStem().init(jax.random.PRNGKey(7), x, False)
+    raw_flat = flatten_dict(raw["params"])
+    lin_flat = flatten_dict(lin["params"])
+    assert set(raw_flat) == set(lin_flat)
+    for k in raw_flat:
+        np.testing.assert_array_equal(np.asarray(raw_flat[k]),
+                                      np.asarray(lin_flat[k]), err_msg=str(k))
+    out_raw = IEKDStem(stem_width=4).apply(raw, x, False)
+    out_lin = _LinenStem().apply(lin, x, False)
+    np.testing.assert_allclose(np.asarray(out_raw), np.asarray(out_lin),
+                               rtol=1e-6, atol=1e-6)
+
+    # --- TPAVI: eval init (fused scope-API θ/φ/g) vs train init (nn.Dense)
+    feat = jnp.asarray(np.random.RandomState(1).rand(1, 2, 4, 4, 8),
+                       jnp.float32)
+    attn = TPAVI(inter_channels=4)
+    v_eval = attn.init(jax.random.PRNGKey(3), feat, False)   # fused path
+    v_train = attn.init(jax.random.PRNGKey(3), feat, True)   # nn.Dense path
+    ef = flatten_dict(v_eval["params"])
+    tf = flatten_dict(v_train["params"])
+    assert set(ef) == set(tf)
+    for k in ef:
+        np.testing.assert_array_equal(np.asarray(ef[k]), np.asarray(tf[k]),
+                                      err_msg=str(k))
+
+
+def test_temporal_variant_trains_one_step():
+    """--variant temporal (Global_and_Local_Temporal intent, reference
+    ours.py:1846-1980): the cycle forward folds clip frames into the
+    attention token axis. One full train step must run with finite loss,
+    and the cycle loss must differ from the per-frame (non-temporal) path
+    (different attention graph ⇒ different features)."""
+    from dataclasses import replace
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+    from glfusion_tpu.models import GlobalAndLocal
+
+    import flax
+
+    cfg0 = tiny_config()
+    model = GlobalAndLocal(cfg0.model)
+    v, b = cfg0.model.num_views, 2
+    hw, t = cfg0.data.crop_hw, cfg0.data.clip_length
+    x = jnp.zeros((v, b, hw, hw, 1), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(0))
+    # un-zero the TPAVI out-proj BN scale: at init the attention block is
+    # LN(x) regardless of token structure, which would make the temporal
+    # and per-frame cycle features trivially equal
+    p = flax.core.unfreeze(variables["params"])
+    for attn in ("global_attn", "local_attn"):
+        p[attn]["w_z_bn"]["scale"] = jnp.ones_like(
+            p[attn]["w_z_bn"]["scale"])
+    variables = {"params": p, "batch_stats": variables["batch_stats"]}
+    batch = {
+        "images": jnp.asarray(
+            np.random.RandomState(0).rand(v, b, hw, hw, 1), jnp.float32),
+        "masks": jnp.asarray(
+            np.random.RandomState(1).rand(v, b, hw, hw, 5) > 0.5,
+            jnp.float32),
+        "clips": jnp.asarray(
+            np.random.RandomState(2).rand(v, t, hw, hw, 1), jnp.float32),
+    }
+
+    def run(temporal):
+        cfg = replace(cfg0, train=replace(cfg0.train, temporal=temporal))
+        # fresh buffers per run: the step donates its state argument
+        fresh = jax.tree_util.tree_map(jnp.array, variables)
+        state = TrainState.create(
+            apply_fn=model.apply, params=fresh["params"],
+            batch_stats=fresh.get("batch_stats", {}),
+            tx=make_optimizer(cfg, 1))
+        _, metrics = make_train_step(cfg, model)(
+            state, batch, jax.random.PRNGKey(1))
+        return {k: float(v) for k, v in metrics.items()
+                if k in ("loss", "seg_loss", "cyc_loss")}
+
+    m_t = run(True)
+    m_f = run(False)
+    assert np.isfinite(m_t["loss"]) and m_t["cyc_loss"] != 0.0
+    # same supervised graph, different cycle graph
+    np.testing.assert_allclose(m_t["seg_loss"], m_f["seg_loss"], rtol=1e-6)
+    assert m_t["cyc_loss"] != m_f["cyc_loss"]
+
+
+def test_temporal_composes_with_cycle_light():
+    """cycle_light + temporal: the fast features-only cycle forward also
+    supports the video token fold."""
+    from dataclasses import replace
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+    from glfusion_tpu.models import GlobalAndLocal
+
+    cfg = tiny_config()
+    cfg = replace(cfg, train=replace(cfg.train, temporal=True,
+                                     cycle_light=True))
+    model = GlobalAndLocal(cfg.model)
+    v, b = cfg.model.num_views, 2
+    hw, t = cfg.data.crop_hw, cfg.data.clip_length
+    x = jnp.zeros((v, b, hw, hw, 1), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(0))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 1))
+    batch = {
+        "images": jnp.zeros((v, b, hw, hw, 1), jnp.float32),
+        "masks": jnp.zeros((v, b, hw, hw, 5), jnp.float32),
+        "clips": jnp.asarray(
+            np.random.RandomState(2).rand(v, t, hw, hw, 1), jnp.float32),
+    }
+    _, metrics = make_train_step(cfg, model)(
+        state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["cyc_loss"]) != 0.0

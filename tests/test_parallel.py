@@ -118,3 +118,62 @@ def test_sharded_train_step_compiles_with_collectives():
     hlo = jax.jit(lambda s, b, k: step(s, b, k)).lower(
         state, batch, jax.random.PRNGKey(4)).compile().as_text()
     assert "all-reduce" in hlo, "no cross-device collectives in the step"
+
+
+def test_sharded_train_step_batch_stats_match_unsharded():
+    """SURVEY §7.3 names BN-under-parallelism a hard part. GSPMD training
+    computes GLOBAL-batch BN statistics: a batch-norm reduction over a
+    sharded batch axis lowers to a cross-chip all-reduce, so every chip
+    sees the statistics of the WHOLE batch. (The reference's DataParallel
+    instead computed per-replica statistics on each GPU's batch shard —
+    an artifact of replica-local modules, not a design choice; global
+    statistics are the mathematically-consistent behavior. Documented in
+    PARITY.md.) This pins it: one sharded (data=8) train step's updated
+    batch_stats must match the unsharded step's."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    model = GlobalAndLocal(cfg.model)
+    hw, t, v = cfg.data.crop_hw, cfg.data.clip_length, cfg.model.num_views
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (v, b, hw, hw, 1))
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(1))
+    batch_host = {
+        "images": x,
+        "masks": (jax.random.uniform(jax.random.PRNGKey(2),
+                                     (v, b, hw, hw, 5)) > 0.5).astype(
+                                         jnp.float32),
+        "clips": jax.random.uniform(jax.random.PRNGKey(3),
+                                    (v, t, hw, hw, 1)),
+    }
+
+    def one_step(n_dev):
+        mesh = make_mesh(devices=jax.devices()[:n_dev])
+        # fresh buffers per run: the step donates its state, and a
+        # same-sharding device_put may alias rather than copy
+        vs = shard_variables(
+            jax.tree_util.tree_map(jnp.array, variables), mesh)
+        state = TrainState.create(
+            apply_fn=model.apply, params=vs["params"],
+            batch_stats=vs.get("batch_stats", {}),
+            tx=make_optimizer(cfg, 10))
+        batch = shard_batch(batch_host, mesh, batch_axis=1)
+        step = make_train_step(cfg, model)
+        new_state, _ = step(state, batch, jax.random.PRNGKey(4))
+        return jax.device_get(new_state.batch_stats)
+
+    ref = one_step(1)
+    sharded = one_step(8)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref)
+    flat_sh = dict(jax.tree_util.tree_leaves_with_path(sharded))
+    assert len(flat_ref) == len(flat_sh) > 0
+    for path, leaf in flat_ref:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_sh[path]),
+            atol=1e-5, rtol=1e-4, err_msg=str(path))
