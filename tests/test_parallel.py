@@ -177,3 +177,31 @@ def test_sharded_train_step_batch_stats_match_unsharded():
         np.testing.assert_allclose(
             np.asarray(leaf), np.asarray(flat_sh[path]),
             atol=1e-5, rtol=1e-4, err_msg=str(path))
+
+
+def test_aot_topology_compile_tiny():
+    """The multi-chip AOT machinery (tools/compile_multichip.py): lower +
+    compile the sharded train step against a DEVICE-LESS v5e:2x4 TPU
+    topology description and assert per-chip memory analysis + collectives.
+    Tiny widths keep this to ~a minute; the committed full-size evidence
+    (result/compile_multichip_r3.json, BASELINE.md table) uses the same
+    code path. Skips when no libtpu AOT compiler is available."""
+    import sys
+    from pathlib import Path
+
+    import pytest
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import compile_multichip as tool
+
+    try:
+        from jax.experimental import topologies
+        topo = topologies.get_topology_desc(platform="tpu",
+                                            topology_name="v5e:2x4")
+    except Exception as e:  # no libtpu on this host
+        pytest.skip(f"no TPU AOT compiler: {e}")
+
+    cfg = tool.tiny_wide_config()
+    rep = tool.compile_mesh(cfg, list(topo.devices), 4, 2)
+    assert rep["collectives"], rep
+    assert rep["per_chip_hbm"]["peak_gib"] > 0

@@ -31,8 +31,14 @@ import jax
 
 # Host-side AOT: compile for the TPU topology from a CPU-backend process
 # (must run BEFORE any other jax use; see CLAUDE.md on the site-level
-# jax import ignoring JAX_PLATFORMS).
-jax.config.update("jax_platforms", "cpu")
+# jax import ignoring JAX_PLATFORMS). When imported into an
+# already-initialized process (__graft_entry__.compile_multichip), the
+# existing backend is kept — AOT against a topology works from any host
+# backend.
+try:
+    jax.config.update("jax_platforms", "cpu")
+except RuntimeError:
+    pass
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -56,6 +62,21 @@ def full_size_config():
     return dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16",
                                        remat=True))
+
+
+def tiny_wide_config():
+    """Tiny topology with TP-shardable (≥256) tail widths — fast compiles
+    for the ungated regression test; the full-size run is the evidence."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+
+    cfg = tiny_config()
+    return dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, widths=(8, 16, 32, 64),
+                                  dtype="bfloat16"),
+        train=dataclasses.replace(cfg.train, batch_size=8))
 
 
 def abstract_state_and_batch(cfg, mesh: Mesh):
@@ -166,6 +187,8 @@ def main(argv=None) -> int:
     ap.add_argument("--meshes", default="8x1,4x2,2x4")
     ap.add_argument("--topology", default="v5e:2x4")
     ap.add_argument("--json", default=None, help="write the report here")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny widths (machinery check; minutes not hours)")
     args = ap.parse_args(argv)
 
     from jax.experimental import topologies
@@ -176,7 +199,7 @@ def main(argv=None) -> int:
     print(f"[compile_multichip] topology {args.topology}: "
           f"{len(devices)} devices")
 
-    cfg = full_size_config()
+    cfg = tiny_wide_config() if args.tiny else full_size_config()
     reports = []
     for m in args.meshes.split(","):
         d, p = (int(x) for x in m.split("x"))
