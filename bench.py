@@ -72,7 +72,8 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
 
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
-              remat: bool = True):
+              remat: bool = True, stem_pallas: bool = False,
+              compiler_options: dict | None = None):
     """Seconds per full train step (reference recipe: batch 8 supervised
     multi-view frames + one 40-frame cycle clip per view, fused device
     preprocessing, Adam). Steps are chained through the TrainState inside
@@ -96,7 +97,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat),
+        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat,
+                                  stem_pallas=stem_pallas),
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
         train=dataclasses.replace(cfg.train, batch_size=batch,
                                   cycle_light=cycle_light))
@@ -134,7 +136,7 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         return consume_state(jnp.sum(losses), state)
 
     compiled = jax.jit(chained_fn).lower(
-        state, batch_arrays, rng).compile()
+        state, batch_arrays, rng).compile(compiler_options=compiler_options)
     float(compiled(state, batch_arrays, rng))  # warm
     t0 = time.perf_counter()
     float(compiled(state, batch_arrays, rng))
