@@ -73,7 +73,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
               remat: bool = True, stem_pallas: bool = False,
-              compiler_options: dict | None = None):
+              compiler_options: "dict | None | str" = "default"):
     """Seconds per full train step (reference recipe: batch 8 supervised
     multi-view frames + one 40-frame cycle clip per view, fused device
     preprocessing, Adam). Steps are chained through the TrainState inside
@@ -93,6 +93,13 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     from glfusion_tpu.models import GlobalAndLocal
     from glfusion_tpu.train.step import make_train_step
     from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    if compiler_options == "default":
+        # the SHIPPED config: the measured-winning TPU options
+        # (config.TPU_COMPILER_OPTIONS); pass None explicitly for a
+        # no-options baseline (tools/sweep_xla_flags.py does)
+        from glfusion_tpu.config import default_compiler_options
+        compiler_options = default_compiler_options()
 
     cfg = Config()
     cfg = dataclasses.replace(

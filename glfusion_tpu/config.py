@@ -178,6 +178,26 @@ class Config:
         return dataclasses.replace(self, **kw)
 
 
+# Default XLA:TPU compile options for the train/eval steps, from the r3
+# 16-option sweep against the production train step (BASELINE.md "XLA:TPU
+# compiler-option sweep"): 32 MiB scoped VMEM (larger fusions, fewer HBM
+# round-trips; the default 16 MiB is the measured bottleneck, 48 MiB+
+# regresses) + reduce-window-broadcast fusion off. Measured −1.8 % s/step;
+# inference-neutral. Only meaningful on the TPU backend.
+TPU_COMPILER_OPTIONS = {
+    "xla_tpu_scoped_vmem_limit_kib": "32768",
+    "xla_tpu_rwb_fusion": "false",
+}
+
+
+def default_compiler_options(backend: str | None = None):
+    """``compiler_options`` for jit on the current (or given) backend."""
+    import jax
+
+    backend = backend or jax.default_backend()
+    return dict(TPU_COMPILER_OPTIONS) if backend == "tpu" else None
+
+
 def tiny_config(views: Sequence[str] = ("1", "3", "4")) -> Config:
     """A topology-faithful miniature for unit tests and CPU smoke runs."""
     return Config(

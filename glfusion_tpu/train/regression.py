@@ -29,7 +29,12 @@ from glfusion_tpu.utils.scores import mae, mse, r2, rmse
 
 
 def make_regression_train_step(model):
-    @jax.jit
+    import functools
+
+    from glfusion_tpu.config import default_compiler_options
+
+    @functools.partial(jax.jit,
+                       compiler_options=default_compiler_options())
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         def loss_fn(params):
             out, updates = state.apply_fn(
@@ -52,7 +57,12 @@ def make_regression_train_step(model):
 
 
 def make_regression_eval_step(model):
-    @jax.jit
+    import functools
+
+    from glfusion_tpu.config import default_compiler_options
+
+    @functools.partial(jax.jit,
+                       compiler_options=default_compiler_options())
     def step(state: TrainState, batch):
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},

@@ -19,7 +19,7 @@ from typing import Any, Dict
 import jax
 import jax.numpy as jnp
 
-from glfusion_tpu.config import Config
+from glfusion_tpu.config import Config, default_compiler_options
 from glfusion_tpu.train.losses import (
     bce_with_logits_sum,
     dense_seg_cycle_loss,
@@ -52,7 +52,8 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         from glfusion_tpu.data.pipeline import view_ids_tuple
         view_ids = view_ids_tuple(views)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,),
+                       compiler_options=default_compiler_options())
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
         if fuse_preprocess:
@@ -139,7 +140,8 @@ def make_eval_step(cfg: Config, model):
     confusion counts over all pixels plus per-structure counts.
     """
 
-    @jax.jit
+    @functools.partial(jax.jit,
+                       compiler_options=default_compiler_options())
     def eval_step(state: TrainState, batch: Dict[str, Any]):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

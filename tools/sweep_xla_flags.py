@@ -54,6 +54,12 @@ SWEEP = [
     ("vector_ls_fusion_windows",
      {"xla_tpu_vector_load_fusion_window": "2048",
       "xla_tpu_vector_store_fusion_window": "1024"}),
+    # round 2 of the sweep: bracket the scoped-vmem optimum (32M won -1.6%)
+    ("scoped_vmem_24m", {"xla_tpu_scoped_vmem_limit_kib": "24576"}),
+    ("scoped_vmem_48m", {"xla_tpu_scoped_vmem_limit_kib": "49152"}),
+    ("scoped_vmem_32m_no_rwb",
+     {"xla_tpu_scoped_vmem_limit_kib": "32768",
+      "xla_tpu_rwb_fusion": "false"}),
 ]
 
 
