@@ -128,7 +128,10 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables.get("batch_stats", {}),
         tx=make_optimizer(cfg, 100))
-    step = make_train_step(cfg, model, fuse_preprocess=True)
+    # inner step without compile options (JAX rejects options on nested
+    # jits); the shipped options are applied to the OUTER chained compile
+    step = make_train_step(cfg, model, fuse_preprocess=True,
+                           compiler_options=None)
 
     def chained_fn(state, batch, rng):
         def body(carry, i):

@@ -30,7 +30,8 @@ from glfusion_tpu.train.train_state import TrainState
 
 
 def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
-                    cps: bool = False):
+                    cps: bool = False,
+                    compiler_options: "dict | None | str" = "default"):
     """fuse_preprocess=True: the step takes RAW host batches (images_raw,
     masks_raw, clips) and runs the crop/normalize/remap preprocessing inside
     the same jit — ONE dispatch per step instead of several, which is what
@@ -42,7 +43,15 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
     supervision (Chen et al., CVPR'21) — is implemented here: both networks
     get the supervised BCE, plus each network's logits are supervised by
     the OTHER network's thresholded (stop-gradient) predictions, weighted
-    by ``cfg.train.cps_weight``."""
+    by ``cfg.train.cps_weight``.
+
+    compiler_options: "default" applies the measured-winning TPU options
+    (``config.TPU_COMPILER_OPTIONS``); pass ``None`` when the step will be
+    wrapped in an OUTER jit (e.g. a chained-scan benchmark) — JAX rejects
+    compiler options on nested jits — and apply them to the outer compile
+    instead."""
+    if compiler_options == "default":
+        compiler_options = default_compiler_options()
     views = tuple(cfg.model.views)
     test_idx = tuple(views.index(v) for v in cfg.train.test_views
                      if v in views)
@@ -53,7 +62,7 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         view_ids = view_ids_tuple(views)
 
     @functools.partial(jax.jit, donate_argnums=(0,),
-                       compiler_options=default_compiler_options())
+                       compiler_options=compiler_options)
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
         if fuse_preprocess:
@@ -132,16 +141,22 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
     return train_step
 
 
-def make_eval_step(cfg: Config, model):
+def make_eval_step(cfg: Config, model,
+                   compiler_options: "dict | None | str" = "default"):
     """Forward on a stacked multi-view batch, returns logits + counts.
 
     Implements the eval contract of ``main.py:500-519``: fused prediction
     (``pred_frames, _ = model(imgs)`` — the final fused mask), sum-BCE loss,
     confusion counts over all pixels plus per-structure counts.
+
+    compiler_options: see ``make_train_step`` — pass ``None`` when wrapping
+    in an outer jit.
     """
+    if compiler_options == "default":
+        compiler_options = default_compiler_options()
 
     @functools.partial(jax.jit,
-                       compiler_options=default_compiler_options())
+                       compiler_options=compiler_options)
     def eval_step(state: TrainState, batch: Dict[str, Any]):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

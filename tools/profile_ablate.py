@@ -90,20 +90,23 @@ def main() -> int:
         print(label, out[label], flush=True)
 
     # 1. full production step
-    full_step = make_train_step(cfg, model, fuse_preprocess=True)
+    full_step = make_train_step(cfg, model, fuse_preprocess=True,
+                                compiler_options=None)
     timed_state_fn("full", lambda st, b, k: _unpack(full_step(st, b, k)), raw)
 
     # 2. cycle_light
     lcfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, cycle_light=True))
-    light_step = make_train_step(lcfg, model, fuse_preprocess=True)
+    light_step = make_train_step(lcfg, model, fuse_preprocess=True,
+                                 compiler_options=None)
     timed_state_fn("cycle_light",
                    lambda st, b, k: _unpack(light_step(st, b, k)), raw)
 
     # 3. no cycle (supervised only)
     ncfg = dataclasses.replace(
         cfg, train=dataclasses.replace(cfg.train, use_cycle=False))
-    nc_step = make_train_step(ncfg, model, fuse_preprocess=True)
+    nc_step = make_train_step(ncfg, model, fuse_preprocess=True,
+                              compiler_options=None)
     timed_state_fn("no_cycle", lambda st, b, k: _unpack(nc_step(st, b, k)),
                    {k: raw[k] for k in ("images_raw", "masks_raw")})
 

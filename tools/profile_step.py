@@ -59,7 +59,8 @@ def main() -> int:
     out = {}
 
     def timed_step(cfg_i, batch_i, label, iters=6):
-        step = make_train_step(cfg_i, model, fuse_preprocess=True)
+        step = make_train_step(cfg_i, model, fuse_preprocess=True,
+                               compiler_options=None)
 
         def chained(state, b, k):
             from glfusion_tpu.utils.profiling import consume_state

@@ -60,6 +60,30 @@ SWEEP = [
     ("scoped_vmem_32m_no_rwb",
      {"xla_tpu_scoped_vmem_limit_kib": "32768",
       "xla_tpu_rwb_fusion": "false"}),
+    # round 3 of the sweep: finer bracket of the 32M optimum + pairings of
+    # the winner with each near-neutral flag (combos may add where singles
+    # were noise)
+    ("scoped_vmem_28m_no_rwb",
+     {"xla_tpu_scoped_vmem_limit_kib": "28672",
+      "xla_tpu_rwb_fusion": "false"}),
+    ("scoped_vmem_36m_no_rwb",
+     {"xla_tpu_scoped_vmem_limit_kib": "36864",
+      "xla_tpu_rwb_fusion": "false"}),
+    ("scoped_vmem_40m_no_rwb",
+     {"xla_tpu_scoped_vmem_limit_kib": "40960",
+      "xla_tpu_rwb_fusion": "false"}),
+    ("winner_plus_lhs",
+     {"xla_tpu_scoped_vmem_limit_kib": "32768",
+      "xla_tpu_rwb_fusion": "false",
+      "xla_tpu_enable_latency_hiding_scheduler": "true"}),
+    ("winner_plus_aggressive_loop_fusion",
+     {"xla_tpu_scoped_vmem_limit_kib": "32768",
+      "xla_tpu_rwb_fusion": "false",
+      "xla_tpu_enable_aggressive_loop_fusion_layout_opt": "true"}),
+    ("winner_plus_fusion_cost_model",
+     {"xla_tpu_scoped_vmem_limit_kib": "32768",
+      "xla_tpu_rwb_fusion": "false",
+      "xla_tpu_enable_experimental_fusion_cost_model": "true"}),
 ]
 
 
