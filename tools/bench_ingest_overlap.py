@@ -37,10 +37,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def build_loader(root, cfg, ids, views):
-    from glfusion_tpu.data.infos import PatientIndex
+    from glfusion_tpu.data.infos import PatientIndex, load_infos
     from glfusion_tpu.data.pipeline import SegFrameLoader
 
-    index = PatientIndex.load(root / "infos" / "save_infos_reg_v2.npy")
+    infos = load_infos(root / "infos" / "save_infos_reg_v2.npy")
+    index = PatientIndex.from_infos(infos, cfg.data.use_data)
     return SegFrameLoader(index, ids, views, cfg, is_train=True)
 
 
