@@ -38,9 +38,14 @@ BATCH_FRAMES = 32
 ITERS = 10
 
 
-def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
+def run(batch: int, iters: int, dtype: str = "bfloat16",
+        compiler_options: "dict | None | str" = "default") -> float:
     from glfusion_tpu.config import Config, ModelConfig
     from glfusion_tpu.models import GlobalAndLocal
+
+    if compiler_options == "default":
+        from glfusion_tpu.config import default_compiler_options
+        compiler_options = default_compiler_options()
 
     mcfg = Config().model
     mcfg = ModelConfig(**{**mcfg.__dict__, "dtype": dtype})
@@ -53,7 +58,6 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
     # pathologically slow over remote TPU transports (~8x here)
     variables = jax.jit(lambda r: model.init(r, x, False))(rng)
 
-    @jax.jit
     def chained(variables, x):
         def body(carry, _):
             out = model.apply(variables, x + carry, False)["mask"]
@@ -62,9 +66,11 @@ def run(batch: int, iters: int, dtype: str = "bfloat16") -> float:
         carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
         return carry
 
-    float(chained(variables, x))  # compile + warm
+    compiled = jax.jit(chained).lower(variables, x).compile(
+        compiler_options=compiler_options)
+    float(compiled(variables, x))  # warm
     t0 = time.perf_counter()
-    float(chained(variables, x))  # one dispatch, one scalar fetch
+    float(compiled(variables, x))  # one dispatch, one scalar fetch
     dt = time.perf_counter() - t0
     frames = mcfg.num_views * batch * iters
     return frames / dt

@@ -182,8 +182,10 @@ class Config:
 # 16-option sweep against the production train step (BASELINE.md "XLA:TPU
 # compiler-option sweep"): 32 MiB scoped VMEM (larger fusions, fewer HBM
 # round-trips; the default 16 MiB is the measured bottleneck, 48 MiB+
-# regresses) + reduce-window-broadcast fusion off. Measured −1.8 % s/step;
-# inference-neutral. Only meaningful on the TPU backend.
+# regresses) + reduce-window-broadcast fusion off. Measured −1.8 % s/step
+# on train AND +2.4 % frames/s at eval (the scoped-VMEM bump carries the
+# eval win; rwb-off is train-only but eval-neutral within the set —
+# result/xla_flag_sweep_r3_infer.json). Only meaningful on the TPU backend.
 TPU_COMPILER_OPTIONS = {
     "xla_tpu_scoped_vmem_limit_kib": "32768",
     "xla_tpu_rwb_fusion": "false",

@@ -95,11 +95,14 @@ def main(argv=None) -> int:
     ap.add_argument("--only", default=None,
                     help="comma-separated row names to run")
     ap.add_argument("--out", default="result/xla_flag_sweep_r3.json")
+    ap.add_argument("--infer", action="store_true",
+                    help="sweep the INFERENCE graph (bench.run, frames/s — "
+                         "higher is better) instead of the train step")
     args = ap.parse_args(argv)
 
     import jax
 
-    from bench import run_train
+    from bench import BATCH_FRAMES, run, run_train
 
     assert jax.devices()[0].platform != "cpu", "sweep is a TPU measurement"
 
@@ -112,8 +115,12 @@ def main(argv=None) -> int:
     for name, opts in rows:
         t0 = time.time()
         try:
-            step_s, _ = run_train(batch=8, iters=args.iters,
-                                  compiler_options=opts)
+            if args.infer:
+                metric = run(batch=BATCH_FRAMES, iters=max(args.iters, 10),
+                             compiler_options=opts)
+            else:
+                metric, _ = run_train(batch=8, iters=args.iters,
+                                      compiler_options=opts)
         except Exception as e:  # a flag may 500 the remote compiler
             print(f"[sweep] {name}: FAILED {str(e).splitlines()[0][:100]}",
                   flush=True)
@@ -121,20 +128,23 @@ def main(argv=None) -> int:
             continue
         compile_s = time.time() - t0
         if name == "baseline":
-            base_s = step_s
+            base_s = metric
+        key = "frames_per_s" if args.infer else "step_s"
         rec = {"name": name, "options": opts,
-               "step_s": round(step_s, 4),
+               key: round(metric, 4),
                "delta_vs_baseline_pct": (
-                   round(100.0 * (step_s - base_s) / base_s, 2)
+                   round(100.0 * (metric - base_s) / base_s, 2)
                    if base_s else None),
                "compile_plus_run_s": round(compile_s, 1)}
         report.append(rec)
-        print(f"[sweep] {name}: {step_s:.4f} s/step "
+        unit = "frames/s" if args.infer else "s/step"
+        print(f"[sweep] {name}: {metric:.4f} {unit} "
               f"({rec['delta_vs_baseline_pct']}% vs baseline)", flush=True)
+        harness = ("bench.run(batch=%d)" % BATCH_FRAMES if args.infer
+                   else "bench.run_train(batch=8, iters=%d)" % args.iters)
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(json.dumps(
-            {"harness": "bench.run_train(batch=8, iters=%d)" % args.iters,
-             "rows": report}, indent=1))
+            {"harness": harness, "rows": report}, indent=1))
     print(json.dumps(report))
     return 0
 
