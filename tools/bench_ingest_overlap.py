@@ -104,6 +104,9 @@ def main(argv=None) -> int:
     loader_b = build_loader(work, cfg, ids, views)
     t = loader_b.warm_async(epoch=0)
     time.sleep(window)  # the "compile": GIL released, warm thread decodes
+    with loader_b._cache_lock:
+        out["cached_at_window_end"] = len(loader_b._cache)
+        out["warm_thread_alive"] = bool(t is not None and t.is_alive())
     residual_s = timed_prefill(loader_b, keys)
     loader_b.stop_warming()
     if t is not None:
