@@ -20,12 +20,14 @@ def build_parser() -> argparse.ArgumentParser:
         prog="glfusion_tpu",
         description="GL-Fusion multi-view echocardiogram segmentation (TPU)")
     p.add_argument("--mode",
-                   choices=["train", "val", "visual", "infer",
+                   choices=["train", "val", "visual", "infer", "serve",
                             "reg-train", "reg-val"],
                    default="train",
                    help="reference main.py:896-898; reg-* drive the mPAP "
                         "video-regression path (reference PAHDataset + "
-                        "Resnet50PAH, which its entry point never wires)")
+                        "Resnet50PAH, which its entry point never wires); "
+                        "serve = infer through the pipelined serving path "
+                        "(decode ‖ compute ‖ fetch, glfusion_tpu/serve.py)")
     p.add_argument("--data-root", default=None,
                    help="dataset root containing infos/, data_list/, .nii.gz;"
                         " omit to run on synthetic data")
@@ -247,7 +249,7 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg, data_paths=data_paths)
     if args.torch_ckpt is not None:
         trainer.load_torch_checkpoint(args.torch_ckpt)
-    elif args.resume or args.mode in ("val", "visual", "infer"):
+    elif args.resume or args.mode in ("val", "visual", "infer", "serve"):
         trainer.load_latest()
 
     if args.mode == "train":
@@ -255,6 +257,12 @@ def main(argv=None) -> int:
     elif args.mode == "infer":
         n = trainer.infer(out_dir=args.out_dir)
         print(f"wrote {n} prediction volumes")
+    elif args.mode == "serve":
+        from glfusion_tpu.serve import serve_test_clips
+        stats = serve_test_clips(trainer, out_dir=args.out_dir)
+        print(f"served {stats['clips']} clips "
+              f"({stats['clips_per_s']} clips/s, {stats['wall_s']} s): "
+              f"wrote {stats['written']} prediction volumes")
     elif args.mode == "val":
         if args.sweep:
             trainer.sweep_checkpoints()

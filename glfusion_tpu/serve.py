@@ -1,0 +1,209 @@
+"""Pipelined online clip inference (the production serving path).
+
+The reference's closest surface is offline eval (``main.py:459-543``: load
+clip, forward, accumulate). For serving, the bottlenecks are different:
+host NIfTI decode, host→device transfer, and device compute should all
+overlap. This module runs them as a three-stage pipeline:
+
+  decode (C++ native reader in a thread pool)
+    ‖ dispatch (JAX async dispatch keeps ``depth`` clips in flight on
+      device — the jitted forward returns immediately, compute overlaps
+      the next clip's decode + upload)
+    ‖ fetch (device→host of the thresholded uint8 masks — 4× smaller than
+      the f32 logits, which matters on high-latency transports)
+
+Static shapes by construction: every clip is padded/trimmed on host to
+``clip_length`` frames so the forward compiles ONCE (XLA retraces on any
+shape change); the true frame count trims the yielded prediction.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glfusion_tpu.config import Config, default_compiler_options
+
+
+class ClipPipeline:
+    """Overlapped decode → forward → fetch over a stream of clips.
+
+    Parameters
+    ----------
+    cfg, model, variables: the flagship model + its eval variables
+        (``{"params": ..., "batch_stats": ...}``).
+    depth: clips kept in flight on device (2 is enough to hide decode and
+        transfer behind compute; more only adds HBM pressure).
+    threads: host decode workers (native reader threads; bounded by host
+        cores).
+    """
+
+    def __init__(self, cfg: Config, model, variables: Dict[str, Any],
+                 depth: int = 2, threads: int = 2):
+        self.cfg = cfg
+        self.model = model
+        self.variables = variables
+        self.depth = max(1, depth)
+        self.threads = max(1, threads)
+
+        @jax.jit
+        def forward(variables, images):
+            # images (V, T, H, W, 1) float32 in [0,1]; frames-as-batch
+            out = model.apply(variables, images, False)
+            # sigmoid > 0.5 == logits > 0; uint8 masks cut D2H 4x vs f32
+            return (out["mask"] > 0.0).astype(jnp.uint8)
+
+        opts = default_compiler_options()
+        if opts:
+            # pre-lower with the shipped TPU options (top-level jit)
+            v, t = cfg.model.num_views, cfg.data.clip_length
+            hw = cfg.data.crop_hw
+            sample = jax.ShapeDtypeStruct((v, t, hw, hw, 1), jnp.float32)
+            vars_shapes = jax.tree_util.tree_map(
+                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
+            self._fwd = forward.lower(vars_shapes, sample).compile(
+                compiler_options=opts)
+            self._fixed_signature = True
+        else:
+            self._fwd = forward
+            self._fixed_signature = False
+
+    # ------------------------------------------------------------- helpers
+
+    def _pad_clip(self, images: np.ndarray) -> Tuple[np.ndarray, int]:
+        """Pad/trim (V, T, H, W, 1) to the compiled clip_length frames."""
+        t_fix = self.cfg.data.clip_length
+        t = images.shape[1]
+        if t == t_fix:
+            return images, t
+        if t > t_fix:
+            return images[:, :t_fix], t_fix
+        pad = np.zeros((images.shape[0], t_fix - t) + images.shape[2:],
+                       images.dtype)
+        return np.concatenate([images, pad], axis=1), t
+
+    # -------------------------------------------------------------- stream
+
+    def predict_iter(
+        self,
+        items: Iterable[Any],
+        decode: Callable[[Any], Tuple[str, np.ndarray]],
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Yield ``(clip_id, masks)`` for each item, fully pipelined.
+
+        ``decode(item) -> (clip_id, images)`` runs in the host thread pool
+        (images (V, T, H, W, 1) float32 in [0,1]); yielded masks are
+        (V, T_true, H, W, 5) uint8. Output order == input order.
+        """
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        items_it = iter(items)
+        with ThreadPoolExecutor(max_workers=self.threads) as ex:
+            decoded = collections.deque()   # decode futures, input order
+            inflight = collections.deque()  # (clip_id, t_true, device out)
+
+            def submit() -> bool:
+                try:
+                    item = next(items_it)
+                except StopIteration:
+                    return False
+                decoded.append(ex.submit(decode, item))
+                return True
+
+            for _ in range(self.threads + 1):
+                if not submit():
+                    break
+
+            while decoded or inflight:
+                # drain a finished prediction once the window is full (or
+                # nothing is left to feed)
+                if inflight and (len(inflight) > self.depth or not decoded):
+                    cid, t_true, dev = inflight.popleft()
+                    yield cid, np.asarray(dev)[:, :t_true]
+                    continue
+                cid, images = decoded.popleft().result()
+                images, t_true = self._pad_clip(np.asarray(images))
+                dev = self._fwd(self.variables, jnp.asarray(images))
+                inflight.append((cid, t_true, dev))
+                submit()
+
+    # --------------------------------------------------------- conveniences
+
+    def decode_paths(self, item: Tuple[str, Dict[str, str]]):
+        """Decode one ``(clip_id, {view: image_path})`` to (cid, images).
+
+        Reads each view with the from-scratch NIfTI reader (native C++
+        when built), /255-normalizes, and stacks views; missing views are
+        zero-filled (the reference pads with zeros, ``loader.py:268-282``).
+        """
+        from glfusion_tpu.data.nifti import read_nifti
+
+        views = tuple(self.cfg.model.views)
+        hw = self.cfg.data.crop_hw
+        t_fix = self.cfg.data.clip_length
+        cid, paths = item
+        imgs = np.zeros((len(views), t_fix, hw, hw, 1), np.float32)
+        for vi, view in enumerate(views):
+            p = paths.get(view)
+            if p is None:
+                continue
+            vol = np.asarray(read_nifti(p), np.float32) / 255.0
+            vol = vol.squeeze()  # (H, W, T)
+            t = min(t_fix, vol.shape[-1])
+            imgs[vi, :t, ..., 0] = np.moveaxis(vol[..., :t], -1, 0)
+        return cid, imgs
+
+    def predict_one(self, images: np.ndarray) -> np.ndarray:
+        """Serial single-clip prediction (no pipelining): uint8 masks."""
+        images, t_true = self._pad_clip(np.asarray(images))
+        dev = self._fwd(self.variables, jnp.asarray(images))
+        return np.asarray(dev)[:, :t_true]
+
+    def predict_paths(
+        self,
+        clips: Sequence[Tuple[str, Dict[str, str]]],
+    ) -> Iterator[Tuple[str, np.ndarray]]:
+        """Serve from NIfTI paths: ``(clip_id, {view: image_path})``."""
+        return self.predict_iter(clips, self.decode_paths)
+
+
+def serve_test_clips(trainer, out_dir: str = "./predictions",
+                     depth: int = 2, threads: int = 2) -> dict:
+    """``--mode serve``: Trainer.infer through the pipeline, with timing.
+
+    Same outputs as ``Trainer.infer`` (per-clip per-view (5, H, W, T)
+    uint8 NIfTI masks) but decode/compute/fetch overlapped; returns
+    ``{"written": n, "clips": n, "clips_per_s": ..., "wall_s": ...}``.
+    """
+    from pathlib import Path
+
+    from glfusion_tpu.data.nifti import write_nifti
+
+    cfg = trainer.cfg
+    variables = {"params": trainer.state.params,
+                 "batch_stats": trainer.state.batch_stats}
+    pipe = ClipPipeline(cfg, trainer.model, variables,
+                        depth=depth, threads=threads)
+    ids = sorted(trainer.test_infos.keys())
+    clips = [(cid, dict(trainer.test_infos[cid]["views_images"]))
+             for cid in ids]
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    written = 0
+    t0 = time.perf_counter()
+    for cid, pred in pipe.predict_paths(clips):
+        for vi, view in enumerate(cfg.model.views):
+            # (T, H, W, 5) → (5, H, W, T) uint8 (Test_Seg_PAHDataset layout)
+            vol = np.transpose(pred[vi], (3, 1, 2, 0)).astype(np.uint8)
+            write_nifti(out / f"pred_{cid}_v{view}.nii.gz", vol)
+            written += 1
+    wall = time.perf_counter() - t0
+    return {"written": written, "clips": len(clips),
+            "clips_per_s": round(len(clips) / wall, 3) if wall else None,
+            "wall_s": round(wall, 3)}

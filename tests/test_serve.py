@@ -1,0 +1,105 @@
+"""Pipelined serving path (glfusion_tpu/serve.py).
+
+The pipeline overlaps decode / dispatch / fetch but must be functionally
+identical to the serial eval forward: same masks, input order preserved,
+short clips padded to the compiled length and trimmed on output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+
+    cfg = tiny_config()
+    model = GlobalAndLocal(cfg.model)
+    v, t = cfg.model.num_views, cfg.data.clip_length
+    hw = cfg.data.crop_hw
+    x = jnp.zeros((v, t, hw, hw, 1), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(0))
+    return cfg, model, variables
+
+
+def _clips(cfg, n, t=None):
+    v = cfg.model.num_views
+    hw = cfg.data.crop_hw
+    t = t or cfg.data.clip_length
+    rs = np.random.RandomState(7)
+    return [(f"c{i}", rs.rand(v, t, hw, hw, 1).astype(np.float32))
+            for i in range(n)]
+
+
+def test_pipeline_matches_serial_forward(tiny_model):
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    clips = _clips(cfg, 4)
+    pipe = ClipPipeline(cfg, model, variables, depth=2, threads=2)
+
+    got = list(pipe.predict_iter(clips, decode=lambda item: item))
+    assert [cid for cid, _ in got] == [cid for cid, _ in clips]
+
+    for (cid, images), (gcid, pred) in zip(clips, got):
+        ref = np.asarray(
+            model.apply(variables, jnp.asarray(images), False)["mask"]
+        ) > 0.0
+        assert pred.dtype == np.uint8
+        np.testing.assert_array_equal(pred.astype(bool), ref)
+
+
+def test_pipeline_pads_and_trims_short_clips(tiny_model):
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    t_short = max(1, cfg.data.clip_length - 2)
+    clips = _clips(cfg, 2, t=t_short)
+    pipe = ClipPipeline(cfg, model, variables, depth=1, threads=1)
+
+    for (cid, images), (gcid, pred) in zip(
+            clips, pipe.predict_iter(clips, decode=lambda it: it)):
+        assert pred.shape[1] == t_short  # trimmed back to true length
+        # the padded frames must not change the real frames' predictions?
+        # (BN is eval-mode — per-frame independent except the fusion
+        # attention, which mixes VIEWS not frames at is_video=False; so
+        # frame t's mask depends only on frame t across views)
+        padded, _ = pipe._pad_clip(images)
+        ref = np.asarray(
+            model.apply(variables, jnp.asarray(padded), False)["mask"]
+        )[:, :t_short] > 0.0
+        np.testing.assert_array_equal(pred.astype(bool), ref)
+
+
+def test_serve_test_clips_end_to_end(tmp_path):
+    """--mode serve over the synthetic test corpus writes the same files
+    as Trainer.infer and reports throughput."""
+    from glfusion_tpu.cli import build_parser, config_from_args
+    from glfusion_tpu.serve import serve_test_clips
+    from glfusion_tpu.train.trainer import Trainer
+    from glfusion_tpu.data.nifti import read_nifti
+
+    args = build_parser().parse_args(
+        ["--mode", "serve", "--tiny", "--platform", "cpu",
+         "--save-dir", str(tmp_path / "ckpt"),
+         "--log-dir", str(tmp_path / "log")])
+    cfg = config_from_args(args)
+    trainer = Trainer(cfg, data_paths=None)  # synthetic corpus
+
+    stats = serve_test_clips(trainer, out_dir=str(tmp_path / "pred"),
+                             depth=2, threads=2)
+    assert stats["written"] == stats["clips"] * len(cfg.model.views)
+    assert stats["clips_per_s"] is None or stats["clips_per_s"] > 0
+
+    # outputs parse as NIfTI with the Test_Seg_PAHDataset label layout
+    files = sorted((tmp_path / "pred").glob("pred_*_v*.nii.gz"))
+    assert len(files) == stats["written"]
+    vol = np.asarray(read_nifti(files[0]))
+    assert vol.ndim == 4 and vol.shape[0] == 5
