@@ -37,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--views", default="1,3,4",
                    help="comma-separated view ids (reference main.py:918)")
-    from glfusion_tpu.models.registry import SEG_ARCHS
+    from glfusion_tpu.arch_names import SEG_ARCHS
     p.add_argument("--model", default="glfusion",
                    choices=list(SEG_ARCHS),
                    help="trainable architecture (models/registry.py): the "

@@ -212,6 +212,14 @@ class SegFrameLoader:
             for i in range(0, len(keys), chunk):
                 if self._warm_stop.is_set():
                     return
+                # budget guard: once the LRU is nearly full, further
+                # warming would evict the earliest-decoded (= earliest
+                # NEEDED) entries — the whole warm pass would be wasted
+                # I/O and the consumer would re-decode serially anyway
+                with self._cache_lock:
+                    nearly_full = self._cache_used >= 0.9 * self._cache_bytes
+                if nearly_full:
+                    return
                 try:
                     self._prefill(keys[i:i + chunk])
                 except Exception:

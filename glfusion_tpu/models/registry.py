@@ -180,12 +180,11 @@ class _LegacyAdapter(nn.Module):
                 "f4_global": out["f4_fusion"], "f4_local": out["f4_fusion"]}
 
 
-AVS_FLAVORS = ("baseline", "transfusion", "model17", "pred_endecoder")
-LEGACY_KINDS = ("none", "channel_transformer", "tpavi", "model18", "model20",
-                "decouple", "mlp_concat")
-SEG_ARCHS = (("glfusion", "unet", "multiview_unet", "utnet", "cen")
-             + tuple(f"avs_{f}" for f in AVS_FLAVORS)
-             + tuple(f"legacy:{k}" for k in LEGACY_KINDS))
+from glfusion_tpu.arch_names import (  # noqa: E402  (re-export)
+    AVS_FLAVORS,
+    LEGACY_KINDS,
+    SEG_ARCHS,
+)
 
 
 def build_seg_model(mcfg: ModelConfig) -> Tuple[nn.Module, bool]:

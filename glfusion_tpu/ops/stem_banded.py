@@ -102,11 +102,6 @@ def _tile_vec(v: jnp.ndarray, reps: int) -> jnp.ndarray:
     return jnp.tile(v.reshape(1, -1), (1, reps))
 
 
-def _band_masks(g: _Geom, c: int):
-    """Static (numpy) band row/col index helpers for the M build."""
-    return None  # placeholder: masks are built with iota inside the kernel
-
-
 def _build_M(w_ref, m_ref, g: _Geom, c: int, parity: int, cdt):
     """Banded weight matrix M (KK, we·C) for one output parity.
 

@@ -50,27 +50,17 @@ class ClipPipeline:
         self.depth = max(1, depth)
         self.threads = max(1, threads)
 
-        @jax.jit
         def forward(variables, images):
             # images (V, T, H, W, 1) float32 in [0,1]; frames-as-batch
             out = model.apply(variables, images, False)
             # sigmoid > 0.5 == logits > 0; uint8 masks cut D2H 4x vs f32
             return (out["mask"] > 0.0).astype(jnp.uint8)
 
-        opts = default_compiler_options()
-        if opts:
-            # pre-lower with the shipped TPU options (top-level jit)
-            v, t = cfg.model.num_views, cfg.data.clip_length
-            hw = cfg.data.crop_hw
-            sample = jax.ShapeDtypeStruct((v, t, hw, hw, 1), jnp.float32)
-            vars_shapes = jax.tree_util.tree_map(
-                lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), variables)
-            self._fwd = forward.lower(vars_shapes, sample).compile(
-                compiler_options=opts)
-            self._fixed_signature = True
-        else:
-            self._fwd = forward
-            self._fixed_signature = False
+        # top-level jit with the shipped TPU options: unlike an AOT
+        # lower/compile, plain jit respects whatever shardings the caller's
+        # variables are committed with (a mesh-sharded Trainer state works)
+        self._fwd = jax.jit(forward,
+                            compiler_options=default_compiler_options())
 
     # ------------------------------------------------------------- helpers
 
@@ -122,7 +112,7 @@ class ClipPipeline:
             while decoded or inflight:
                 # drain a finished prediction once the window is full (or
                 # nothing is left to feed)
-                if inflight and (len(inflight) > self.depth or not decoded):
+                if inflight and (len(inflight) >= self.depth or not decoded):
                     cid, t_true, dev = inflight.popleft()
                     yield cid, np.asarray(dev)[:, :t_true]
                     continue
@@ -148,6 +138,7 @@ class ClipPipeline:
         t_fix = self.cfg.data.clip_length
         cid, paths = item
         imgs = np.zeros((len(views), t_fix, hw, hw, 1), np.float32)
+        t_true = t_fix
         for vi, view in enumerate(views):
             p = paths.get(view)
             if p is None:
@@ -155,8 +146,13 @@ class ClipPipeline:
             vol = np.asarray(read_nifti(p), np.float32) / 255.0
             vol = vol.squeeze()  # (H, W, T)
             t = min(t_fix, vol.shape[-1])
+            t_true = min(t_true, t)
             imgs[vi, :t, ..., 0] = np.moveaxis(vol[..., :t], -1, 0)
-        return cid, imgs
+        # trim to the true frame count so _pad_clip records it and the
+        # yielded prediction is trimmed back (a short clip must not come
+        # out with predictions over its zero-padding frames; Trainer.infer
+        # writes T=min(clip_length, T_clip) — same contract)
+        return cid, imgs[:, :t_true]
 
     def predict_one(self, images: np.ndarray) -> np.ndarray:
         """Serial single-clip prediction (no pipelining): uint8 masks."""

@@ -78,6 +78,33 @@ def test_pipeline_pads_and_trims_short_clips(tiny_model):
         np.testing.assert_array_equal(pred.astype(bool), ref)
 
 
+def test_decode_paths_trims_short_clips(tiny_model, tmp_path):
+    """A clip shorter than clip_length must come back with T_true frames,
+    not predictions over its zero-padding (Trainer.infer writes
+    T = min(clip_length, T_clip) — same contract)."""
+    from glfusion_tpu.data.nifti import write_nifti
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    hw = cfg.data.crop_hw
+    t_short = max(1, cfg.data.clip_length - 2)
+    rs = np.random.RandomState(3)
+    paths = {}
+    for view in cfg.model.views:
+        vol = rs.randint(0, 255, (hw, hw, t_short)).astype(np.uint8)
+        p = tmp_path / f"v{view}.nii.gz"
+        write_nifti(p, vol)
+        paths[view] = str(p)
+
+    pipe = ClipPipeline(cfg, model, variables, depth=1, threads=1)
+    cid, imgs = pipe.decode_paths(("clip0", paths))
+    assert imgs.shape[1] == t_short  # true frame count survives decode
+
+    (gcid, pred), = list(pipe.predict_paths([("clip0", paths)]))
+    assert gcid == "clip0"
+    assert pred.shape[1] == t_short  # yielded masks trimmed to T_true
+
+
 def test_serve_test_clips_end_to_end(tmp_path):
     """--mode serve over the synthetic test corpus writes the same files
     as Trainer.infer and reports throughput."""

@@ -142,7 +142,13 @@ def compile_mesh(cfg, topo_devices, data: int, model_axis: int) -> dict:
     mesh = Mesh(np.asarray(topo_devices).reshape(data, model_axis),
                 axis_names=("data", "model"))
     model, state_abs, batch_abs, rng_abs = abstract_state_and_batch(cfg, mesh)
-    step = make_train_step(cfg, model, fuse_preprocess=True)
+    # compiler_options=None: the committed evidence is a no-options
+    # compile regardless of entry path (standalone forces a CPU platform,
+    # where defaults are None anyway; via __graft_entry__ in a
+    # TPU-initialized process the default would silently switch to the
+    # shipped TPU options and change fusions/HBM peaks)
+    step = make_train_step(cfg, model, fuse_preprocess=True,
+                           compiler_options=None)
 
     t0 = time.time()
     lowered = step.lower(state_abs, batch_abs, rng_abs)
@@ -152,9 +158,8 @@ def compile_mesh(cfg, topo_devices, data: int, model_axis: int) -> dict:
     t_compile = time.time() - t0
 
     hlo = compiled.as_text()
-    colls = {c: hlo.count(f" {c}") + hlo.count(f"{c}(") + hlo.count(f"{c}-")
-             for c in COLLECTIVES}
-    # robust count: occurrences of the op name at instruction positions
+    # substring counts are upper bounds (op names also appear in fusion
+    # labels/metadata); used only as presence evidence + rough magnitude
     colls = {c: hlo.count(c) for c in COLLECTIVES}
     ma = compiled.memory_analysis()
     gib = 1024 ** 3
