@@ -78,6 +78,29 @@ def test_pipeline_pads_and_trims_short_clips(tiny_model):
         np.testing.assert_array_equal(pred.astype(bool), ref)
 
 
+def test_pipeline_serves_mesh_sharded_variables(tiny_model):
+    """The served forward is a plain top-level jit, so variables committed
+    with a NamedSharding over a (data, model) mesh must work and produce
+    the same masks as replicated variables (a multi-device Trainer state
+    handed to ClipPipeline is exactly this)."""
+    from glfusion_tpu.parallel import make_mesh, shard_variables
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    mesh = make_mesh(data=4, model=2)
+    sharded = shard_variables(variables, mesh)
+
+    clips = _clips(cfg, 3)
+    pipe_rep = ClipPipeline(cfg, model, variables, depth=2, threads=2)
+    pipe_shd = ClipPipeline(cfg, model, sharded, depth=2, threads=2)
+
+    got_rep = list(pipe_rep.predict_iter(clips, decode=lambda it: it))
+    got_shd = list(pipe_shd.predict_iter(clips, decode=lambda it: it))
+    for (cid_r, pred_r), (cid_s, pred_s) in zip(got_rep, got_shd):
+        assert cid_r == cid_s
+        np.testing.assert_array_equal(pred_r, pred_s)
+
+
 def test_decode_paths_trims_short_clips(tiny_model, tmp_path):
     """A clip shorter than clip_length must come back with T_true frames,
     not predictions over its zero-padding (Trainer.infer writes

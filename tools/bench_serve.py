@@ -33,6 +33,10 @@ def main(argv=None) -> int:
     ap.add_argument("--clips", type=int, default=20)
     ap.add_argument("--depth", type=int, default=2)
     ap.add_argument("--threads", type=int, default=2)
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute dtype for the served forward (params "
+                         "stay f32); the CLI exposes the same knob")
     ap.add_argument("--keep", action="store_true")
     args = ap.parse_args(argv)
 
@@ -47,6 +51,7 @@ def main(argv=None) -> int:
     from glfusion_tpu.serve import ClipPipeline
 
     cfg = Config()
+    cfg = replace(cfg, model=replace(cfg.model, dtype=args.dtype))
     views = tuple(cfg.model.views)
     hw, t = cfg.data.crop_hw, cfg.data.clip_length
 
@@ -73,7 +78,7 @@ def main(argv=None) -> int:
                         depth=args.depth, threads=args.threads)
 
     out = {"clips": args.clips, "depth": args.depth,
-           "threads": args.threads,
+           "threads": args.threads, "dtype": args.dtype,
            "platform": jax.devices()[0].platform}
     # warm the compiled forward (shared by both arms)
     next(iter(pipe.predict_paths(clips[:1])))
