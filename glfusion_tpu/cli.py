@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (the anomaly-detection "
                         "analogue of the reference's "
                         "torch.autograd.set_detect_anomaly, main.py:37)")
+    p.add_argument("--serve-depth", type=int, default=2,
+                   help="--mode serve: clips kept in flight on device "
+                        "(more hides decode latency, costs HBM)")
+    p.add_argument("--serve-threads", type=int, default=2,
+                   help="--mode serve: host NIfTI decode workers")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (overrides autodetection; "
                         "useful when a site-level jax import has already "
@@ -259,7 +264,9 @@ def main(argv=None) -> int:
         print(f"wrote {n} prediction volumes")
     elif args.mode == "serve":
         from glfusion_tpu.serve import serve_test_clips
-        stats = serve_test_clips(trainer, out_dir=args.out_dir)
+        stats = serve_test_clips(trainer, out_dir=args.out_dir,
+                                 depth=args.serve_depth,
+                                 threads=args.serve_threads)
         print(f"served {stats['clips']} clips "
               f"({stats['clips_per_s']} clips/s, {stats['wall_s']} s): "
               f"wrote {stats['written']} prediction volumes")
