@@ -107,6 +107,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable jax_debug_nans (the anomaly-detection "
                         "analogue of the reference's "
                         "torch.autograd.set_detect_anomaly, main.py:37)")
+    p.add_argument("--checkify", action="store_true",
+                   help="checkify finiteness checks on loss + grad norm "
+                        "inside the compiled train step (jit-compatible "
+                        "anomaly detection: divergence raises host-side "
+                        "at the offending step, at full speed)")
     p.add_argument("--serve-depth", type=int, default=2,
                    help="--mode serve: clips kept in flight on device "
                         "(more hides decode latency, costs HBM)")
@@ -172,6 +177,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             eval_every_epochs=args.eval_every,
             save_every_epochs=args.save_every,
             mesh_model=args.mesh_model,
+            checkify=args.checkify,
         ),
     )
     return cfg

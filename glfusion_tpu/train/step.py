@@ -61,8 +61,6 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         from glfusion_tpu.data.pipeline import view_ids_tuple
         view_ids = view_ids_tuple(views)
 
-    @functools.partial(jax.jit, donate_argnums=(0,),
-                       compiler_options=compiler_options)
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
         rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
         if fuse_preprocess:
@@ -129,6 +127,15 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
 
         (total, (bstats, seg_loss, cyc_loss, mask_logits)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        if tc.checkify:
+            from jax.experimental import checkify
+            gnorm = jnp.sqrt(sum(
+                jnp.sum(jnp.square(g.astype(jnp.float32)))
+                for g in jax.tree_util.tree_leaves(grads)))
+            checkify.check(jnp.isfinite(total),
+                           "non-finite training loss {loss}", loss=total)
+            checkify.check(jnp.isfinite(gnorm),
+                           "non-finite gradient norm {gnorm}", gnorm=gnorm)
         state = state.apply_gradients(grads=grads, batch_stats=bstats)
 
         pred = (mask_logits > 0.0).astype(jnp.float32)
@@ -138,7 +145,31 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
                    **counts}
         return state, metrics
 
-    return train_step
+    if cfg.train.checkify:
+        # functional sanitizer (reference main.py:37
+        # torch.autograd.set_detect_anomaly): explicit finiteness checks
+        # on the loss and the gradient norm run INSIDE the compiled step
+        # and surface host-side via err.throw() — divergence stops the
+        # run at the offending step at full speed. (Instrumenting every
+        # primitive with checkify.float_checks was measured impractical:
+        # the transform blows up trace/compile time even at toy widths.
+        # Op-level NaN hunting is --debug-nans / jax_debug_nans.)
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(train_step,
+                                    errors=checkify.user_checks)
+        jitted = jax.jit(checked, donate_argnums=(0,),
+                         compiler_options=compiler_options)
+
+        def checked_step(state, batch, rng):
+            err, out = jitted(state, batch, rng)
+            err.throw()
+            return out
+
+        return checked_step
+
+    return jax.jit(train_step, donate_argnums=(0,),
+                   compiler_options=compiler_options)
 
 
 def make_eval_step(cfg: Config, model,

@@ -302,3 +302,56 @@ def test_chained_benchmark_keeps_cycle_heads_live():
     if f_full is None or f_light is None:
         pytest.skip("cost_analysis unavailable on this backend")
     assert f_full > 1.02 * f_light, (f_full, f_light)
+
+
+def test_checkify_train_step_catches_nan_inputs():
+    """cfg.train.checkify (reference main.py:37 set_detect_anomaly): a
+    clean batch steps normally; a NaN-poisoned batch raises a checkify
+    error naming the failing in-graph check instead of silently producing
+    NaN params."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+    from jax.experimental import checkify
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config(views=("1", "4"))
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, crop_hw=16),
+        train=dataclasses.replace(cfg.train, use_cycle=False,
+                                  checkify=True))
+    model = GlobalAndLocal(cfg.model)
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (v, 2, hw, hw, 1))
+    masks = (jax.random.uniform(jax.random.fold_in(rng, 1),
+                                (v, 2, hw, hw, 5)) > 0.5).astype(jnp.float32)
+    variables = model.init(rng, imgs, False)
+    init_params = jax.device_get(variables["params"])
+    init_bstats = jax.device_get(variables.get("batch_stats", {}))
+
+    def make_state():
+        fresh = jax.tree_util.tree_map(jnp.asarray, init_params)
+        fresh_bs = jax.tree_util.tree_map(jnp.asarray, init_bstats)
+        return TrainState.create(apply_fn=model.apply, params=fresh,
+                                 batch_stats=fresh_bs,
+                                 tx=make_optimizer(cfg, 10))
+
+    step = make_train_step(cfg, model)
+
+    # clean batch: steps normally, finite loss
+    state2, metrics = step(make_state(), {"images": imgs, "masks": masks},
+                           jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # NaN-poisoned images: the instrumented step must throw, not train
+    bad = imgs.at[0, 0, 0, 0, 0].set(jnp.nan)
+    with pytest.raises(checkify.JaxRuntimeError, match="nan"):
+        step(make_state(), {"images": bad, "masks": masks},
+             jax.random.PRNGKey(2))
