@@ -231,6 +231,13 @@ def main(argv=None) -> int:
     if args.platform is not None:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    # multi-host bring-up BEFORE any other backend use: under an MPI-style
+    # launcher (PMI_SIZE/OMPI_COMM_WORLD_SIZE set) every process joins the
+    # jax.distributed runtime and the Trainer runs multi-host SPMD — the
+    # functional version of the reference's dormant spawn scaffolding
+    # (main.py:951-963). No-op for ordinary single-process runs.
+    from glfusion_tpu.utils.cluster import initialize_distributed
+    initialize_distributed()
     if args.debug_nans:
         from glfusion_tpu.utils.profiling import debug_nans
         debug_nans(True)

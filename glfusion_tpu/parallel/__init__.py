@@ -11,6 +11,7 @@ XLA emits the collectives.
 from glfusion_tpu.parallel.mesh import make_mesh  # noqa: F401
 from glfusion_tpu.parallel.sharding import (  # noqa: F401
     batch_sharding,
+    device_put_global,
     shard_batch,
     shard_variables,
     variable_pspec,

@@ -16,10 +16,29 @@ from __future__ import annotations
 from typing import Any
 
 import jax
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 # Minimum channel count worth sharding over the model axis.
 _MIN_SHARD_DIM = 256
+
+
+def device_put_global(leaf, sharding: NamedSharding):
+    """``device_put`` that also works when the mesh spans processes.
+
+    Single-process: plain ``jax.device_put``. Multi-process (multi-host
+    SPMD): every process holds the FULL host value — same-seed determinism
+    makes init/batch values identical across processes — and contributes
+    the shards its addressable devices own via ``make_array_from_callback``.
+    This is the multi-host idiom of the reference's (never-functional)
+    multi-process scaffolding (main.py:951-963); each host re-decodes the
+    full batch, which costs duplicated host CPU but no ICI/DCN traffic.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    arr = np.asarray(leaf)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
 
 
 def variable_pspec(leaf: jax.Array, model_axis_size: int) -> P:
@@ -38,7 +57,7 @@ def shard_variables(variables: Any, mesh: Mesh) -> Any:
 
     def put(leaf):
         spec = variable_pspec(leaf, model_size)
-        return jax.device_put(leaf, NamedSharding(mesh, spec))
+        return device_put_global(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(put, variables)
 
@@ -59,8 +78,8 @@ def shard_batch(batch: Any, mesh: Mesh, batch_axis: int = 1) -> Any:
 
     def put(leaf):
         if leaf.ndim > batch_axis and leaf.shape[batch_axis] % data_size == 0:
-            return jax.device_put(
+            return device_put_global(
                 leaf, batch_sharding(mesh, batch_axis, leaf.ndim))
-        return jax.device_put(leaf, NamedSharding(mesh, P()))
+        return device_put_global(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map(put, batch)

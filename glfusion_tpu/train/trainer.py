@@ -43,6 +43,12 @@ class Trainer:
                  verbose: bool = True):
         self.cfg = cfg
         self.verbose = verbose
+        # multi-host SPMD: every process runs the same loop on the same
+        # (same-seed) data; only the lead process writes logs/summaries.
+        # Batches stay host-side numpy so shard_batch can assemble global
+        # arrays across processes (parallel/sharding.device_put_global).
+        self._lead = jax.process_index() == 0
+        self._stage = jnp.asarray if jax.process_count() == 1 else np.asarray
         self.mesh = make_mesh(data=cfg.train.mesh_data,
                               model=cfg.train.mesh_model)
 
@@ -116,10 +122,14 @@ class Trainer:
         self.ckpt = CheckpointManager(cfg.train.save_dir)
         self.epoch = 0
         log_dir = Path(cfg.train.log_dir)
-        log_dir.mkdir(parents=True, exist_ok=True)
-        self._metrics_file = open(log_dir / "metrics.jsonl", "a")
-        from glfusion_tpu.utils.summary import SummaryWriter
-        self.summary = SummaryWriter(str(log_dir))
+        if self._lead:
+            log_dir.mkdir(parents=True, exist_ok=True)
+            self._metrics_file = open(log_dir / "metrics.jsonl", "a")
+            from glfusion_tpu.utils.summary import SummaryWriter
+            self.summary = SummaryWriter(str(log_dir))
+        else:
+            self._metrics_file = None
+            self.summary = None
 
     # ------------------------------------------------------------------ api
 
@@ -202,10 +212,10 @@ class Trainer:
                 self.train_loader.batches(cfg.train.batch_size, epoch)):
             self.rng, r_step = jax.random.split(self.rng)
             # raw batch; preprocessing runs inside the fused train step
-            batch = {"images_raw": jnp.asarray(host_batch["images_raw"]),
-                     "masks_raw": jnp.asarray(host_batch["masks_raw"])}
+            batch = {"images_raw": self._stage(host_batch["images_raw"]),
+                     "masks_raw": self._stage(host_batch["masks_raw"])}
             if cycle_iter is not None:
-                batch["clips"] = jnp.asarray(next(cycle_iter))[..., None]
+                batch["clips"] = self._stage(next(cycle_iter))[..., None]
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             self.state, metrics = self.train_step(self.state, batch, r_step)
             steps += 1
@@ -439,10 +449,12 @@ class Trainer:
     # ---------------------------------------------------------------- utils
 
     def _log(self, msg: str):
-        if self.verbose:
+        if self.verbose and self._lead:
             print(f"[glfusion] {msg}", flush=True)
 
     def _write_log(self, record: dict):
+        if not self._lead:
+            return
         self._metrics_file.write(json.dumps(record) + "\n")
         self._metrics_file.flush()
         # mirror numeric fields to TensorBoard (reference add_summary,

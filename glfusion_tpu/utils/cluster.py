@@ -70,3 +70,12 @@ def initialize_distributed(port: int = 23455) -> None:
         num_processes=ws,
         process_id=get_global_rank(),
     )
+    if jax.process_count() > 1:
+        # Establish the cross-process collective plumbing NOW, while the
+        # processes are within seconds of each other. Deferring the first
+        # collective to after model build lets arrival skew grow past the
+        # transport's ~30 s rendezvous window (compile times differ per
+        # process on a contended host) and the gloo/ICI context init fails.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("glfusion:bringup")
