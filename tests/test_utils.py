@@ -219,9 +219,15 @@ def test_initialize_distributed_guards_on_env_only(monkeypatch):
     monkeypatch.setattr(
         "jax.distributed.initialize",
         lambda **kw: calls.append(kw))
-    monkeypatch.setattr(
-        "jax.process_count",
-        lambda: (_ for _ in ()).throw(AssertionError("backend touched")))
+
+    def process_count_after_init_only():
+        # touching the backend is only legal once jax.distributed.initialize
+        # has run (the post-init bring-up sync does exactly that); any call
+        # on a no-op path is a bug
+        assert calls, "backend touched before jax.distributed.initialize"
+        return 1  # pretend single-process so the sync collective is skipped
+
+    monkeypatch.setattr("jax.process_count", process_count_after_init_only)
 
     for var in ("PMI_SIZE", "OMPI_COMM_WORLD_SIZE", "PMI_RANK",
                 "OMPI_COMM_WORLD_RANK"):
