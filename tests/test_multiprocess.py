@@ -1,11 +1,12 @@
-"""Multi-process (multi-host) data-parallel training.
+"""Multi-process (multi-host) training.
 
 Extends the virtual-device sharding proofs (test_parallel.py) across REAL
 process boundaries: two jax.distributed CPU processes, one device each,
-form a data=2 mesh and run one Trainer epoch on the same synthetic corpus.
-Both must agree with each other AND with a single-process run — the
-multi-host equivalent of the reference's never-functional multi-process
-scaffolding (reference main.py:951-963).
+run one Trainer epoch on the same synthetic corpus, once as a data=2
+data-parallel mesh and once as a model=2 tensor-parallel mesh (parameter
+shards living on different PROCESSES). Both must agree with each other AND
+with a single-process run — the multi-host equivalent of the reference's
+never-functional multi-process scaffolding (reference main.py:951-963).
 """
 
 import json
@@ -15,6 +16,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 # A micro-topology child: compile time must stay small so the two ranks
 # reach their collectives within the transport's rendezvous window on a
@@ -26,6 +28,10 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 from glfusion_tpu.utils.cluster import initialize_distributed
 initialize_distributed(port=int(sys.argv[3]))
+mesh_model = int(sys.argv[4])
+from glfusion_tpu.parallel import sharding
+# the micro widths below must still exercise real tensor-parallel sharding
+sharding._MIN_SHARD_DIM = 4
 from glfusion_tpu.config import tiny_config
 from glfusion_tpu.train.trainer import Trainer
 
@@ -36,11 +42,12 @@ cfg = dataclasses.replace(
     model=dataclasses.replace(cfg.model, stem_width=4, widths=(4, 4, 8, 8),
                               aspp_channels=8),
     train=dataclasses.replace(
-        cfg.train, num_epochs=1, use_cycle=False,
+        cfg.train, num_epochs=1, use_cycle=False, mesh_model=mesh_model,
         save_dir=sys.argv[2] + "/ckpt", log_dir=sys.argv[2] + "/log",
         eval_every_epochs=100, save_every_epochs=100))
 tr = Trainer(cfg, data_paths=paths, verbose=False)
-assert tr.mesh.shape["data"] == jax.device_count()
+assert tr.mesh.shape["model"] == mesh_model
+assert tr.mesh.shape["data"] * mesh_model == jax.device_count()
 m = tr._train_epoch(0)
 print("RESULT", json.dumps({"loss": m["loss"], "dice": m["dice"],
                             "steps": m["steps"],
@@ -54,11 +61,12 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def _run(paths_file, workdir, port, extra_env):
+def _run(paths_file, workdir, port, extra_env, mesh_model=1):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
     env.pop("XLA_FLAGS", None)  # children get real 1-device CPU backends
     return subprocess.Popen(
-        [sys.executable, "-c", _CHILD, paths_file, workdir, str(port)],
+        [sys.executable, "-c", _CHILD, paths_file, workdir, str(port),
+         str(mesh_model)],
         env=env, cwd="/root/repo",
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
@@ -72,29 +80,37 @@ def _result(proc, timeout=900):
     return json.loads(line[len("RESULT "):])
 
 
-def test_two_process_train_epoch_matches_single_process(tmp_path):
+def _run_pair(paths_file, tmp_path, tag, mesh_model):
+    port = _free_port()
+    procs = [
+        _run(paths_file, str(tmp_path / f"{tag}{r}"), port,
+             {"PMI_SIZE": "2", "PMI_RANK": str(r)}, mesh_model=mesh_model)
+        for r in range(2)
+    ]
+    return [_result(p) for p in procs]
+
+
+@pytest.fixture(scope="module")
+def corpus_and_baseline(tmp_path_factory):
+    """Synthetic corpus + the single-process reference epoch (run once,
+    shared by the data-parallel and tensor-parallel process-pair tests)."""
     from glfusion_tpu.config import tiny_config
     from glfusion_tpu.data.synthetic import generate_synthetic_dataset
 
+    tmp_path = tmp_path_factory.mktemp("mp")
     cfg = tiny_config()
     paths = generate_synthetic_dataset(str(tmp_path / "data"), cfg.data,
                                        views=cfg.model.views, seed=3)
     paths_file = str(tmp_path / "paths.json")
     json.dump(paths, open(paths_file, "w"))
 
-    # single-process baseline
     base = _run(paths_file, str(tmp_path / "base"), _free_port(), {})
     base_res = _result(base)
     assert base_res["nproc"] == 1
+    return tmp_path, paths_file, base_res
 
-    # two cooperating processes over a data=2 mesh
-    port = _free_port()
-    procs = [
-        _run(paths_file, str(tmp_path / f"rank{r}"), port,
-             {"PMI_SIZE": "2", "PMI_RANK": str(r)})
-        for r in range(2)
-    ]
-    results = [_result(p) for p in procs]
+
+def _check_pair(results, base_res):
     for res in results:
         assert res["nproc"] == 2
         assert res["steps"] == base_res["steps"]
@@ -106,6 +122,23 @@ def test_two_process_train_epoch_matches_single_process(tmp_path):
     # the two ranks are bitwise-identical to each other (same SPMD program)
     assert results[0]["loss"] == results[1]["loss"]
     assert results[0]["dice"] == results[1]["dice"]
+
+
+def test_two_process_data_parallel_epoch_matches_single_process(
+        corpus_and_baseline):
+    tmp_path, paths_file, base_res = corpus_and_baseline
+    results = _run_pair(paths_file, tmp_path, "dp_rank", mesh_model=1)
+    _check_pair(results, base_res)
     # only the lead process writes logs
-    assert (tmp_path / "rank0" / "log").exists()
-    assert not (tmp_path / "rank1" / "log").exists()
+    assert (tmp_path / "dp_rank0" / "log").exists()
+    assert not (tmp_path / "dp_rank1" / "log").exists()
+
+
+def test_two_process_tensor_parallel_epoch_matches_single_process(
+        corpus_and_baseline):
+    """data=1, model=2: every ≥4-channel weight is SPLIT across the two
+    processes (the child lowers _MIN_SHARD_DIM to the micro widths), so the
+    forward/backward collectives cross a real process boundary."""
+    tmp_path, paths_file, base_res = corpus_and_baseline
+    results = _run_pair(paths_file, tmp_path, "tp_rank", mesh_model=2)
+    _check_pair(results, base_res)
