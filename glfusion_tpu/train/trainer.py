@@ -308,8 +308,8 @@ class Trainer:
         acc = None
         nclips = 0
         for clip in prefetch(loader.clips()):
-            batch = {"images": jnp.asarray(clip["images"]),
-                     "masks": jnp.asarray(clip["masks"])}
+            batch = {"images": self._stage(clip["images"]),
+                     "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             out = self.eval_step(self.state, batch)
             out = {"loss": out["loss"], "counts": out["counts"],
@@ -402,8 +402,8 @@ class Trainer:
                                 cfg.data.clip_length)
         written = 0
         for clip in loader.clips():
-            batch = {"images": jnp.asarray(clip["images"]),
-                     "masks": jnp.asarray(clip["masks"])}
+            batch = {"images": self._stage(clip["images"]),
+                     "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             out = self.eval_step(self.state, batch)
             logits = np.asarray(out["logits"])  # (V, T, H, W, 5)
@@ -432,8 +432,8 @@ class Trainer:
         out.mkdir(parents=True, exist_ok=True)
         written = 0
         for clip in loader.clips():
-            batch = {"images": jnp.asarray(clip["images"]),
-                     "masks": jnp.asarray(clip["masks"])}
+            batch = {"images": self._stage(clip["images"]),
+                     "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             res = self.eval_step(self.state, batch)
             pred = np.asarray(res["logits"]) > 0.0  # sigmoid > 0.5
