@@ -111,7 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkify finiteness checks on loss + grad norm "
                         "inside the compiled train step (jit-compatible "
                         "anomaly detection: divergence raises host-side "
-                        "at the offending step, at full speed)")
+                        "one step after the offending step — throws are "
+                        "deferred by one step so the error fetch overlaps "
+                        "compute instead of serializing dispatch)")
     p.add_argument("--serve-depth", type=int, default=2,
                    help="--mode serve: clips kept in flight on device "
                         "(more hides decode latency, costs HBM)")

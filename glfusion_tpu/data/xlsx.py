@@ -144,9 +144,10 @@ def load_center_manifest(path: str | Path) -> Dict[str, CenterRecord]:
         number = row.get(num_col, "").strip()
         if not number:
             continue
-        if not number.startswith("P"):
-            # gy_20220306 numbers rows 0..N-1; infos names them P<k+1>.
-            number = f"P{int(number) + 1}" if number.isdigit() else number
+        # All five shipped manifests number rows 'P1','P2',... (verified
+        # against the reference data_xlsx/); non-P numbers are kept
+        # verbatim rather than guessed at — a silent renumbering would
+        # shift every patient's clinical values by one.
         records[number] = CenterRecord(
             number=number,
             mPAP=_to_float(row.get(mpap_col)) if mpap_col else None,

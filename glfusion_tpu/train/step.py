@@ -150,7 +150,7 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         # torch.autograd.set_detect_anomaly): explicit finiteness checks
         # on the loss and the gradient norm run INSIDE the compiled step
         # and surface host-side via err.throw() — divergence stops the
-        # run at the offending step at full speed. (Instrumenting every
+        # run one step after the offending step. (Instrumenting every
         # primitive with checkify.float_checks was measured impractical:
         # the transform blows up trace/compile time even at toy widths.
         # Op-level NaN hunting is --debug-nans / jax_debug_nans.)
@@ -161,11 +161,27 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         jitted = jax.jit(checked, donate_argnums=(0,),
                          compiler_options=compiler_options)
 
+        # err.throw() blocks on a device→host fetch of the error payload;
+        # throwing the PREVIOUS step's error instead keeps one step in
+        # flight, so the fetch overlaps the current step's execution rather
+        # than serializing dispatch (per-step fetches dominate wall time on
+        # high-latency transports — trainer.py:205-208). Divergence still
+        # stops the run, one step late. The trainer flushes the final
+        # pending error at epoch end via ``checkify_flush``.
+        pending = []
+
         def checked_step(state, batch, rng):
             err, out = jitted(state, batch, rng)
-            err.throw()
+            if pending:
+                pending.pop(0).throw()
+            pending.append(err)
             return out
 
+        def checkify_flush():
+            while pending:
+                pending.pop(0).throw()
+
+        checked_step.checkify_flush = checkify_flush
         return checked_step
 
     return jax.jit(train_step, donate_argnums=(0,),

@@ -221,6 +221,11 @@ class Trainer:
             steps += 1
             agg = metrics if agg is None else jax.tree_util.tree_map(
                 jnp.add, agg, metrics)
+        # --checkify defers each step's error-throw by one step so the
+        # fetch overlaps compute; surface the last pending one now
+        flush = getattr(self.train_step, "checkify_flush", None)
+        if flush is not None:
+            flush()
         if agg is None:
             return {"loss": 0.0, "seg_loss": 0.0, "cyc_loss": 0.0, "dice": 0.0}
         agg = jax.device_get(agg)  # ONE transfer for the whole epoch
@@ -267,8 +272,8 @@ class Trainer:
         for host_batch in prefetch(
                 self.valid_loader.batches(cfg.train.batch_size)):
             pre = preprocess_batch(
-                rng, jnp.asarray(host_batch["images_raw"]),
-                jnp.asarray(host_batch["masks_raw"]),
+                rng, self._stage(host_batch["images_raw"]),
+                self._stage(host_batch["masks_raw"]),
                 crop_hw=cfg.data.crop_hw, is_train=False,
                 view_ids=self.view_ids)
             batch = shard_batch(pre, self.mesh, batch_axis=1)
@@ -406,10 +411,12 @@ class Trainer:
                      "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             out = self.eval_step(self.state, batch)
-            logits = np.asarray(out["logits"])  # (V, T, H, W, 5)
-            for vi, view in enumerate(cfg.model.views):
-                written += save_clip_visualization(
-                    out_dir, method_name, clip["clip_id"], view, logits[vi])
+            logits = self._fetch(out["logits"])  # (V, T, H, W, 5)
+            if self._lead:  # one writer in multi-host runs
+                for vi, view in enumerate(cfg.model.views):
+                    written += save_clip_visualization(
+                        out_dir, method_name, clip["clip_id"], view,
+                        logits[vi])
             self._log(f"patient {clip['clip_id']} pred finished")
         return written
 
@@ -436,17 +443,31 @@ class Trainer:
                      "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
             res = self.eval_step(self.state, batch)
-            pred = np.asarray(res["logits"]) > 0.0  # sigmoid > 0.5
-            for vi, view in enumerate(cfg.model.views):
-                # (T, H, W, 5) → (5, H, W, T) uint8
-                vol = np.transpose(pred[vi], (3, 1, 2, 0)).astype(np.uint8)
-                write_nifti(out / f"pred_{clip['clip_id']}_v{view}.nii.gz",
-                            vol)
-                written += 1
+            pred = self._fetch(res["logits"]) > 0.0  # sigmoid > 0.5
+            if self._lead:  # one writer in multi-host runs
+                for vi, view in enumerate(cfg.model.views):
+                    # (T, H, W, 5) → (5, H, W, T) uint8
+                    vol = np.transpose(pred[vi], (3, 1, 2, 0)).astype(
+                        np.uint8)
+                    write_nifti(
+                        out / f"pred_{clip['clip_id']}_v{view}.nii.gz", vol)
+                    written += 1
             self._log(f"clip {clip['clip_id']} predicted")
         return written
 
     # ---------------------------------------------------------------- utils
+
+    def _fetch(self, x) -> np.ndarray:
+        """Full host value of a possibly process-spanning sharded array.
+
+        ``np.asarray`` on a jax.Array raises when shards live on another
+        process's devices; ``process_allgather`` (a collective — every
+        process must call it) assembles the full value on every host.
+        """
+        if jax.process_count() == 1:
+            return np.asarray(x)
+        from jax.experimental import multihost_utils
+        return multihost_utils.process_allgather(x, tiled=True)
 
     def _log(self, msg: str):
         if self.verbose and self._lead:

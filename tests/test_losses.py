@@ -350,8 +350,12 @@ def test_checkify_train_step_catches_nan_inputs():
                            jax.random.PRNGKey(2))
     assert np.isfinite(float(metrics["loss"]))
 
-    # NaN-poisoned images: the instrumented step must throw, not train
+    # NaN-poisoned images: the instrumented step must throw, not train.
+    # Throws are deferred by ONE step (the fetch overlaps the next step's
+    # execution instead of serializing dispatch), so the error surfaces on
+    # the next call or on the epoch-end flush the Trainer performs.
     bad = imgs.at[0, 0, 0, 0, 0].set(jnp.nan)
+    step(make_state(), {"images": bad, "masks": masks},
+         jax.random.PRNGKey(2))  # clean pending error throws as a no-op
     with pytest.raises(checkify.JaxRuntimeError, match="nan"):
-        step(make_state(), {"images": bad, "masks": masks},
-             jax.random.PRNGKey(2))
+        step.checkify_flush()

@@ -72,7 +72,14 @@ def _run(paths_file, workdir, port, extra_env, mesh_model=1):
 
 
 def _result(proc, timeout=900):
-    out, err = proc.communicate(timeout=timeout)
+    try:
+        out, err = proc.communicate(timeout=timeout)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        out, err = proc.communicate()
+        raise AssertionError(
+            f"child rank timed out after {timeout}s; "
+            f"out={out[-2000:]} err={err[-2000:]}")
     err = "\n".join(l for l in err.splitlines()
                     if "cpu_aot_loader" not in l)
     assert proc.returncode == 0, (proc.returncode, out, err[-4000:])
@@ -87,7 +94,14 @@ def _run_pair(paths_file, tmp_path, tag, mesh_model):
              {"PMI_SIZE": "2", "PMI_RANK": str(r)}, mesh_model=mesh_model)
         for r in range(2)
     ]
-    return [_result(p) for p in procs]
+    try:
+        return [_result(p) for p in procs]
+    finally:
+        # a rank that failed/timed out must not orphan its partner (which
+        # would block forever inside a collective holding the port)
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
 
 
 @pytest.fixture(scope="module")

@@ -100,15 +100,18 @@ def test_read_sheet_and_manifest_roundtrip(tmp_path):
     assert all("name" not in vars(r) for r in manifest.values())
 
 
-def test_zero_based_number_normalization(tmp_path):
-    """gy_20220306 numbers its rows 0..N-1; infos names them P<k+1>."""
+def test_non_p_numbers_kept_verbatim(tmp_path):
+    """All five shipped manifests number rows 'P1','P2',...; an unexpected
+    digit-only number must pass through VERBATIM — silently renumbering
+    (e.g. a +1 shift) would swap every patient's clinical values."""
     path = _write_workbook(
-        tmp_path / "zero_based.xlsx",
+        tmp_path / "digits.xlsx",
         ["number", "mPAP", "Vmax", "Ps"],
         [[0, 30, 4.45, "缺3"], [1, 36, 4.11, "仅4、6"]],
     )
     manifest = load_center_manifest(path)
-    assert set(manifest) == {"P1", "P2"}
+    assert set(manifest) == {"0", "1"}
+    assert manifest["0"].mPAP == 30.0
 
 
 @pytest.mark.skipif(not REFERENCE_XLSX.is_dir() or not REFERENCE_INFOS.exists(),
