@@ -182,7 +182,50 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
 V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
 
 
+def _wait_for_backend(max_wait_s: int = 1800,
+                      probe_timeout: int = 240) -> None:
+    """The remote axon TPU tunnel intermittently fails backend init
+    (UNAVAILABLE) or hangs it outright (observed 2026-08-17). Probe in a
+    SUBPROCESS — a failed in-process init can poison this process's backend
+    cache — and retry with backoff so a transient outage doesn't lose the
+    bench artifact. Gives up after max_wait_s and lets the real init
+    surface its error. Prints only to stderr (stdout is the one-JSON-line
+    contract)."""
+    import subprocess
+    import sys
+
+    deadline = time.time() + max_wait_s
+    # sitecustomize imports jax before the env var is read, so apply
+    # JAX_PLATFORMS explicitly inside the probe (same contract as the
+    # CLI's --platform)
+    probe = ("import os, jax\n"
+             "p = os.environ.get('JAX_PLATFORMS')\n"
+             "if p: jax.config.update('jax_platforms', p)\n"
+             "jax.devices()\n")
+    while True:
+        try:
+            r = subprocess.run([sys.executable, "-c", probe],
+                               timeout=probe_timeout, capture_output=True)
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return
+        print("bench: backend unavailable; retrying in 60 s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
+
+
 def main() -> None:
+    import os
+    envp = os.environ.get("JAX_PLATFORMS")
+    if envp:
+        try:  # the env var alone is ignored (sitecustomize pre-imports jax)
+            jax.config.update("jax_platforms", envp)
+        except RuntimeError:
+            pass
+    _wait_for_backend()
     platform = jax.devices()[0].platform
     if platform == "cpu":
         fps = run(batch=2, iters=2)
