@@ -49,8 +49,11 @@ tr = Trainer(cfg, data_paths=paths, verbose=False)
 assert tr.mesh.shape["model"] == mesh_model
 assert tr.mesh.shape["data"] * mesh_model == jax.device_count()
 m = tr._train_epoch(0)
+# the serving path: logits fetch must work when shards span processes
+# (Trainer._fetch -> process_allgather) and only the lead rank writes
+written = tr.infer(out_dir=sys.argv[2] + "/preds")
 print("RESULT", json.dumps({"loss": m["loss"], "dice": m["dice"],
-                            "steps": m["steps"],
+                            "steps": m["steps"], "written": written,
                             "nproc": jax.process_count()}), flush=True)
 """
 
@@ -125,6 +128,10 @@ def corpus_and_baseline(tmp_path_factory):
 
 
 def _check_pair(results, base_res):
+    # infer across process-spanning shards: lead writes the same file set
+    # as the single-process run, the other rank writes nothing
+    assert base_res["written"] > 0
+    assert sorted(r["written"] for r in results) == [0, base_res["written"]]
     for res in results:
         assert res["nproc"] == 2
         assert res["steps"] == base_res["steps"]
