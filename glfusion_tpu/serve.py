@@ -180,6 +180,15 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
 
     from glfusion_tpu.data.nifti import write_nifti
 
+    if jax.process_count() > 1:
+        # The pipeline stages clips onto the local device and fetches masks
+        # with np.asarray — both are per-process operations that cannot see
+        # another process's shards. Serving scales by replica-per-host, not
+        # by sharding one stream across hosts.
+        raise ValueError(
+            "--mode serve is a single-controller path; in a multi-process "
+            "run serve one replica per host, or use --mode infer (which "
+            "assembles process-spanning shards)")
     cfg = trainer.cfg
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}

@@ -153,3 +153,16 @@ def test_serve_test_clips_end_to_end(tmp_path):
     assert len(files) == stats["written"]
     vol = np.asarray(read_nifti(files[0]))
     assert vol.ndim == 4 and vol.shape[0] == 5
+
+
+def test_serve_rejects_multi_process(monkeypatch):
+    """serve is a single-controller path (local staging + np.asarray
+    fetches can't see another process's shards); a multi-process run must
+    get a clear error pointing at replica-per-host or --mode infer."""
+    import pytest
+
+    from glfusion_tpu.serve import serve_test_clips
+
+    monkeypatch.setattr("jax.process_count", lambda: 2)
+    with pytest.raises(ValueError, match="single-controller"):
+        serve_test_clips(trainer=None)
