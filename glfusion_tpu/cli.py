@@ -114,6 +114,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "one step after the offending step — throws are "
                         "deferred by one step so the error fetch overlaps "
                         "compute instead of serializing dispatch)")
+    p.add_argument("--log-histograms", action="store_true",
+                   help="per-parameter TensorBoard histograms each epoch "
+                        "(the reference's optional add_summary histogram "
+                        "pass, main.py:252-255; costs a full param "
+                        "device-to-host fetch per epoch)")
     p.add_argument("--serve-depth", type=int, default=2,
                    help="--mode serve: clips kept in flight on device "
                         "(more hides decode latency, costs HBM)")
@@ -179,6 +184,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             eval_every_epochs=args.eval_every,
             save_every_epochs=args.save_every,
             mesh_model=args.mesh_model,
+            log_histograms=args.log_histograms,
             checkify=args.checkify,
         ),
     )

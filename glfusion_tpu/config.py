@@ -165,10 +165,15 @@ class TrainConfig:
     # mesh: (data, model) axis sizes; -1 = all remaining devices on data
     mesh_data: int = -1
     mesh_model: int = 1
+    # per-parameter TensorBoard histograms each epoch (the reference's
+    # optional add_summary histogram pass, main.py:252-255). Opt-in: the
+    # full-size param fetch is ~2.2 GB device→host per epoch.
+    log_histograms: bool = False
     # functional sanitizer (reference main.py:37 set_detect_anomaly):
     # jax.experimental.checkify finiteness checks on the loss and the
     # gradient norm INSIDE the compiled train step; divergence raises
-    # host-side at the offending step, at full speed, under jit on TPU.
+    # host-side one step late (the error fetch overlaps the next step's
+    # execution), under jit on TPU.
     # Complements --debug-nans (jax_debug_nans: op-by-op NaN hunting;
     # full-graph checkify.float_checks instrumentation was measured
     # impractical — trace/compile blowup even at toy widths).

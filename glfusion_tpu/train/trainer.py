@@ -183,6 +183,8 @@ class Trainer:
                     f"cyc={epoch_metrics['cyc_loss']:.4f} "
                     f"dice={epoch_metrics['dice']:.4f} "
                     f"({epoch_metrics['epoch_time_s']:.1f}s)")
+                if cfg.train.log_histograms:
+                    self._log_param_histograms(epoch)
                 if (epoch + 1) % cfg.train.eval_every_epochs == 0:
                     self.validation_and_test()
                 if (epoch + 1) % cfg.train.save_every_epochs == 0:
@@ -456,6 +458,21 @@ class Trainer:
         return written
 
     # ---------------------------------------------------------------- utils
+
+    def _log_param_histograms(self, epoch: int) -> None:
+        """Per-parameter TensorBoard histograms (the reference's optional
+        ``add_summary`` histogram pass, main.py:252-255). Opt-in
+        (``--log-histograms``): the fetch is the full parameter tree.
+        Every rank fetches (``_fetch`` is a collective when shards span
+        processes); only the lead rank writes."""
+        from jax.tree_util import keystr, tree_flatten_with_path
+
+        leaves, _ = tree_flatten_with_path(self.state.params)
+        for path, leaf in leaves:
+            vals = self._fetch(leaf)
+            if self._lead and self.summary is not None:
+                self.summary.add_histogram(
+                    "params" + keystr(path), vals, epoch)
 
     def _fetch(self, x) -> np.ndarray:
         """Full host value of a possibly process-spanning sharded array.

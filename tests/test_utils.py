@@ -291,3 +291,40 @@ print("DISTOK", jax.process_index(), flush=True)
     for rc, out, err in outs:
         assert rc == 0, (rc, out, err[-2000:])
         assert "DISTOK" in out
+
+
+def test_log_histograms_flag_and_writer(tmp_path):
+    """--log-histograms (reference main.py:252-255 optional per-param
+    histogram pass): the flag reaches the config, and the trainer logs one
+    histogram per parameter leaf through the summary writer."""
+    import dataclasses
+
+    import jax
+
+    from glfusion_tpu.cli import build_parser, config_from_args
+    from glfusion_tpu.train.trainer import Trainer
+
+    args = build_parser().parse_args(
+        ["--mode", "train", "--tiny", "--log-histograms",
+         "--save-dir", str(tmp_path / "c"), "--log-dir", str(tmp_path / "l")])
+    cfg = config_from_args(args)
+    assert cfg.train.log_histograms
+
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, stem_width=4,
+                                       widths=(4, 4, 8, 8), aspp_channels=8))
+    tr = Trainer(cfg, verbose=False)
+
+    class Spy:
+        def __init__(self):
+            self.tags = []
+
+        def add_histogram(self, tag, values, step):
+            assert values.size > 0 and step == 3
+            self.tags.append(tag)
+
+    tr.summary = Spy()
+    tr._log_param_histograms(3)
+    n_leaves = len(jax.tree_util.tree_leaves(tr.state.params))
+    assert len(tr.summary.tags) == n_leaves
+    assert all(t.startswith("params") for t in tr.summary.tags)
