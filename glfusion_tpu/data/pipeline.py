@@ -40,21 +40,15 @@ def _resize_nearest_np(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return x[hi][:, wi]
 
 
-def select_labeled_frame(image: np.ndarray, mask: np.ndarray,
-                         rs: np.random.RandomState) -> tuple[np.ndarray, np.ndarray, int]:
-    """Pick a labeled frame from an (H, W, T) pair.
+def labeled_frames(lab: np.ndarray) -> np.ndarray:
+    """Indices of labeled frames in an (H, W, T) raw label volume.
 
-    Reference rule (``datasets/loader.py:433-446``): a frame is labeled when
-    the raw label sum over the frame exceeds 100; pick uniformly at random.
+    THE single implementation of the reference's labeled-frame rule
+    (``datasets/loader.py:431-446`` input_select): a frame is labeled when
+    its raw label sum exceeds 100. Callers decide the no-labeled-frame
+    fallback (train loaders use all frames; AllMask skips the video).
     """
-    if image.ndim == 2:
-        return image, mask, 0
-    frame_score = mask.reshape(-1, mask.shape[-1]).sum(0)
-    labeled = np.flatnonzero(frame_score > 100)
-    if len(labeled) == 0:
-        labeled = np.arange(mask.shape[-1])
-    idx = int(rs.choice(labeled))
-    return image[..., idx], mask[..., idx], idx
+    return np.flatnonzero(lab.reshape(-1, lab.shape[-1]).sum(0) > 100)
 
 
 class SegFrameLoader:
@@ -111,8 +105,7 @@ class SegFrameLoader:
         if img.ndim == 2:
             img, lab = img[..., None], lab[..., None]
         # labeled-frame rule on the RAW labels (loader.py:433-446)
-        score = lab.reshape(-1, lab.shape[-1]).sum(0)
-        labeled = np.flatnonzero(score > 100)
+        labeled = labeled_frames(lab)
         if len(labeled) == 0:
             labeled = np.arange(lab.shape[-1])
         return (_resize_nearest_np(img, (r, r)),
@@ -134,7 +127,9 @@ class SegFrameLoader:
         missing, paths = [], []
         with self._cache_lock:
             cached = set(self._cache)
-        for key in keys:
+        # dedupe: train_repeat shuffles can place one (pid, view) twice in
+        # a batch; decoding it twice in the native call is pure waste
+        for key in dict.fromkeys(keys):
             if key in cached:
                 continue
             img_p, lab_p = self.index.view_paths(*key)
@@ -352,12 +347,27 @@ class TestClipLoader:
             for view in self.views:
                 ip = rec["views_images"].get(view)
                 lp = rec["views_labels"].get(view)
+                if ip is None or lp is None:
+                    # missing view: zero-filled below once a present view
+                    # fixes the shape (reference pads missing views with
+                    # zeros, loader.py:268-282)
+                    imgs.append(None)
+                    masks.append(None)
+                    continue
                 img = np.asarray(read_nifti(ip), np.float32) / 255.0
                 lab = np.asarray(read_nifti(lp), np.float32)
                 # img (1, H, W, T) → (T, H, W, 1); lab (5, H, W, T) → (T, H, W, 5)
                 t = min(self.clip_length, img.shape[-1])
                 imgs.append(np.transpose(img[..., :t], (3, 1, 2, 0)))
                 masks.append(np.transpose(lab[..., :t], (3, 1, 2, 0)))
+            if all(i is None for i in imgs):
+                continue  # no requested view exists for this clip
+            i_shape = next(i.shape for i in imgs if i is not None)
+            m_shape = next(m.shape for m in masks if m is not None)
+            imgs = [np.zeros(i_shape, np.float32) if i is None else i
+                    for i in imgs]
+            masks = [np.zeros(m_shape, np.float32) if m is None else m
+                     for m in masks]
             yield {"clip_id": cid,
                    "images": np.stack(imgs),   # (V, T, H, W, 1)
                    "masks": np.stack(masks)}   # (V, T, H, W, 5)
@@ -460,8 +470,7 @@ class AllMaskFrameLoader:
                 lab = np.asarray(read_nifti(lab_p)).squeeze()
                 if lab.ndim == 2:
                     lab = lab[..., None]
-                score = lab.reshape(-1, lab.shape[-1]).sum(0)
-                for fr in np.flatnonzero(score > 100):
+                for fr in labeled_frames(lab):
                     self.items.append((pid, view, int(fr)))
 
     def __len__(self) -> int:
@@ -566,7 +575,11 @@ def preprocess_batch(rng: jax.Array, images_raw: jnp.ndarray,
 
     images_raw/masks_raw: (V, B, R, R). Returns images (V, B, c, c, 1) in
     [0,1] and masks (V, B, c, c, 5). The crop window is shared between image
-    and mask of a sample (MONAI paired-keys behavior) and drawn per sample.
+    and mask (MONAI paired-keys behavior) and drawn independently per
+    (view, sample) — the reference's Couple dataset applies its MONAI
+    transform once PER VIEW with keys ['images','masks']
+    (loader.py:551,676-690), so views of one sample get independent windows
+    there too.
     """
     return _preprocess_core(rng, images_raw, masks_raw, crop_hw=crop_hw,
                             is_train=is_train, view_ids=view_ids)

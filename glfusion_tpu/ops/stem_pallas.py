@@ -86,7 +86,12 @@ def _params():
 
 
 def _interpret() -> bool:
-    """Pallas interpreter on non-TPU backends (CPU tests)."""
+    """Pallas interpreter on non-TPU backends (CPU tests).
+
+    Caveat: this keys on the HOST's default backend at trace time, not the
+    lowering target — AOT-lowering for a TPU topology from a CPU-backend
+    host would embed the interpreter expansion. Device-less AOT tools must
+    keep ``stem_pallas=False`` (tools/compile_multichip.py does)."""
     return jax.default_backend() != "tpu"
 
 

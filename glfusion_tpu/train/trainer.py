@@ -199,9 +199,18 @@ class Trainer:
 
     def _train_epoch(self, epoch: int) -> Dict[str, float]:
         cfg = self.cfg
-        cycle_iter = (itertools.cycle(self.cycle_loader.clips(epoch))
-                      if cfg.train.use_cycle and len(self.cycle_loader) > 0
-                      else None)
+        cycle_iter = None
+        if cfg.train.use_cycle and len(self.cycle_loader) > 0:
+            # peek: records may exist yet yield zero clips (every requested
+            # view missing) — cycling an empty stream would raise a bare
+            # StopIteration at the first next(); train without the cycle
+            # loss instead. itertools.cycle retains yielded items anyway,
+            # so the chain costs no extra memory.
+            gen = self.cycle_loader.clips(epoch)
+            first = next(gen, None)
+            if first is not None:
+                cycle_iter = itertools.cycle(
+                    itertools.chain([first], gen))
         from glfusion_tpu.data.prefetch import prefetch
 
         # metrics accumulate ON DEVICE and transfer once per epoch: each
@@ -271,6 +280,7 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.train.seed)  # unused (is_train=False)
         acc = None
         frames = 0
+        batches = 0
         for host_batch in prefetch(
                 self.valid_loader.batches(cfg.train.batch_size)):
             pre = preprocess_batch(
@@ -284,10 +294,13 @@ class Trainer:
             acc = out if acc is None else jax.tree_util.tree_map(
                 jnp.add, acc, out)
             frames += host_batch["images_raw"].shape[1]
+            batches += 1
         if acc is None:
             return {"loss": 0.0, "frames": 0, "views": {}}
         acc = jax.device_get(acc)
-        report = {"loss": float(acc["loss"]), "frames": frames, "views": {}}
+        # mean per batch (the train-epoch loss is likewise mean per step)
+        report = {"loss": float(acc["loss"]) / batches, "frames": frames,
+                  "views": {}}
         for vi, view in enumerate(cfg.model.views):
             m = overlap_metrics({k: jnp.float32(acc["counts"][k][vi])
                                  for k in acc["counts"]})
@@ -331,7 +344,9 @@ class Trainer:
                            for k in ("tp", "fp", "fn", "tn")}
         else:
             acc = jax.device_get(acc)
-            loss = float(acc["loss"])
+            # mean per clip: comparable across differently-sized splits
+            # (the train-epoch loss is likewise mean per step)
+            loss = float(acc["loss"]) / nclips
             totals = {k: np.asarray(acc["counts"][k]) for k in acc["counts"]}
             part_totals = {k: np.asarray(acc["part_counts"][k])
                            for k in acc["part_counts"]}
@@ -369,6 +384,9 @@ class Trainer:
             self._log("no checkpoints to sweep")
             return {}
         best = {"epoch": None, "val_dice": -1.0, "test": None}
+        # the epoch >= 50 rule only applies when some checkpoint satisfies
+        # it; a short run (every step < min_epoch) sweeps everything
+        apply_min = any(s >= min_epoch for s in steps)
         original = self.state
         original_epoch = self.epoch
         for step in steps:
@@ -382,7 +400,7 @@ class Trainer:
             val_dice = (float(np.mean([v["dice"] for v in val.values()]))
                         if val else 0.0)
             self._log(f"sweep epoch {step}: val dice {val_dice:.4f}")
-            if step >= min_epoch or len(steps) <= min_epoch:
+            if step >= min_epoch or not apply_min:
                 if val_dice > best["val_dice"]:
                     best = {"epoch": step, "val_dice": val_dice,
                             "test": res.get("Inner-test")}
@@ -467,12 +485,18 @@ class Trainer:
         processes); only the lead rank writes."""
         from jax.tree_util import keystr, tree_flatten_with_path
 
-        leaves, _ = tree_flatten_with_path(self.state.params)
-        for path, leaf in leaves:
-            vals = self._fetch(leaf)
-            if self._lead and self.summary is not None:
-                self.summary.add_histogram(
-                    "params" + keystr(path), vals, epoch)
+        # ONE transfer for the whole tree: per-leaf fetches are hundreds of
+        # serialized round trips on high-latency transports
+        if jax.process_count() == 1:
+            host = jax.device_get(self.state.params)
+        else:
+            from jax.experimental import multihost_utils
+            host = multihost_utils.process_allgather(self.state.params,
+                                                     tiled=True)
+        if not (self._lead and self.summary is not None):
+            return
+        for path, vals in tree_flatten_with_path(host)[0]:
+            self.summary.add_histogram("params" + keystr(path), vals, epoch)
 
     def _fetch(self, x) -> np.ndarray:
         """Full host value of a possibly process-spanning sharded array.

@@ -302,3 +302,31 @@ def test_warm_async_prefills_cache_and_batches_match(synth):
     if t2 is not None:
         t2.join(timeout=120)
         assert not t2.is_alive()
+
+
+def test_test_clip_loader_zero_fills_missing_views(synth, tmp_path):
+    """A test record lacking one requested view must yield a zero-filled
+    view (reference pads missing views with zeros, loader.py:268-282)
+    instead of crashing on read_nifti(None); a record with NO requested
+    view is skipped."""
+    from glfusion_tpu.data.infos import load_infos
+    from glfusion_tpu.data.pipeline import TestClipLoader
+    from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+
+    cfg = tiny_config()
+    paths = generate_synthetic_dataset(str(tmp_path / "d"), cfg.data,
+                                       views=("1", "4"), seed=1)
+    infos = load_infos(paths["test_infos"])
+    ids = sorted(infos)
+    # drop view "4" from the first clip, every view from the second
+    infos[ids[0]]["views_images"]["4"] = None
+    infos[ids[1]]["views_images"] = {"1": None, "4": None}
+
+    loader = TestClipLoader(infos, ids, ("1", "4"), cfg.data.clip_length)
+    clips = list(loader.clips())
+    got = {c["clip_id"] for c in clips}
+    assert ids[0] in got and ids[1] not in got
+    first = next(c for c in clips if c["clip_id"] == ids[0])
+    assert first["images"].shape[0] == 2
+    assert (first["images"][1] == 0).all()      # missing view zero-filled
+    assert (first["images"][0] != 0).any()      # present view intact
