@@ -147,3 +147,27 @@ def test_infer_and_sweep_apis(trained, tmp_path):
     best = trainer.sweep_checkpoints(min_epoch=0)
     assert best["epoch"] in (0, 1)
     assert best["val_dice"] >= 0.0
+
+
+def test_empty_cycle_stream_trains_without_cycle_loss(trained):
+    """Unlabeled records may exist yet yield ZERO cycle clips (every
+    requested view missing): the epoch must train without the cycle loss,
+    not crash with a bare StopIteration from cycling an empty stream."""
+    trainer, _, _, _ = trained
+    assert trainer.cfg.train.use_cycle
+
+    class EmptyClips:
+        def __len__(self):
+            return 3  # ids exist...
+
+        def clips(self, epoch):
+            return iter(())  # ...but every requested view is missing
+
+    orig = trainer.cycle_loader
+    trainer.cycle_loader = EmptyClips()
+    try:
+        m = trainer._train_epoch(2)
+    finally:
+        trainer.cycle_loader = orig
+    assert np.isfinite(m["loss"])
+    assert m["cyc_loss"] == 0.0
