@@ -103,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="epochs between in-training validations")
     p.add_argument("--save-every", type=int, default=1,
                    help="epochs between checkpoints")
+    p.add_argument("--ckpt-keep", type=int, default=None,
+                   help="checkpoints retained on disk (default: all, the "
+                        "reference contract — its sweep picks the best "
+                        "epoch >=50 over every saved net_NNNNN.pth)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the anomaly-detection "
                         "analogue of the reference's "
@@ -183,6 +187,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             test_views=views,
             eval_every_epochs=args.eval_every,
             save_every_epochs=args.save_every,
+            ckpt_keep=args.ckpt_keep,
             mesh_model=args.mesh_model,
             log_histograms=args.log_histograms,
             checkify=args.checkify,

@@ -10,7 +10,7 @@ becomes a named default here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence
+from typing import Optional, Sequence
 
 
 # Global 5-structure channel space: (RA, RV, LA, LV, PA).
@@ -162,6 +162,12 @@ class TrainConfig:
     log_dir: str = "./result/log_info/log_01"
     save_every_epochs: int = 1
     eval_every_epochs: int = 1
+    # Checkpoints retained on disk. None = keep every saved epoch, which is
+    # the reference contract: main.py:857-872 writes net_{epoch:05}.pth for
+    # every epoch and the post-training sweep (main.py:316-323, 414-416)
+    # picks the best val-Dice epoch >= 50 over ALL of them — bounding
+    # retention would silently restrict the sweep to the newest few.
+    ckpt_keep: Optional[int] = None
     # mesh: (data, model) axis sizes; -1 = all remaining devices on data
     mesh_data: int = -1
     mesh_model: int = 1

@@ -32,6 +32,16 @@ _DTYPES = {
 _CODES = {np.dtype(v): k for k, v in _DTYPES.items()}
 
 
+def needs_scaling(scl_slope: float, scl_inter: float) -> bool:
+    """NIfTI-1 scaling predicate: ``scl_slope == 0`` means *no* scaling
+    (``scl_inter`` is ignored too, per the spec's nifti1.h comments), and
+    non-finite slope/inter are treated as unset. Mirrored by
+    ``needs_scaling()`` in ``native/nifti_reader.cpp`` — keep in sync."""
+    return (np.isfinite(scl_slope) and np.isfinite(scl_inter)
+            and scl_slope != 0.0
+            and not (scl_slope == 1.0 and scl_inter == 0.0))
+
+
 def _read_bytes(path: str | Path) -> bytes:
     path = str(path)
     if path.endswith(".gz"):
@@ -90,8 +100,11 @@ def _parse(raw: bytes, bo: str, path) -> np.ndarray:
     data = np.frombuffer(raw, dtype=dtype, count=count,
                          offset=vox_offset or 352)
     arr = data.reshape(shape, order="F")
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        arr = arr * scl_slope + scl_inter
+    if needs_scaling(scl_slope, scl_inter):
+        # float32 result to match the native decoder's f32 core — the
+        # reader's output dtype must not depend on which backend ran.
+        arr = (arr.astype(np.float32) * np.float32(scl_slope)
+               + np.float32(scl_inter))
     return np.ascontiguousarray(arr)
 
 

@@ -25,19 +25,16 @@ def _load() -> Optional[ctypes.CDLL]:
     _TRIED = True
     if os.environ.get("GLFUSION_NO_NATIVE"):
         return None
-    from glfusion_tpu.native.build import SO_PATH, build
+    from glfusion_tpu.native.build import build, so_path
 
-    if not SO_PATH.exists():
+    # so_path() embeds a hash of the C++ source: a stale revision lives at
+    # a different filename and can never be picked up (or dlopen-cached).
+    path = so_path()
+    if not path.exists():
         if not build(verbose=False):
             return None
     try:
-        lib = ctypes.CDLL(str(SO_PATH))
-        # stale .so from an older source revision: rebuild once
-        if not hasattr(lib, "gl_nifti_read_raw"):
-            del lib
-            if not build(verbose=False):
-                return None
-            lib = ctypes.CDLL(str(SO_PATH))
+        lib = ctypes.CDLL(str(path))
     except OSError:
         return None
     lib.gl_nifti_query_v2.argtypes = [
@@ -98,9 +95,11 @@ def _query(lib, path: str):
 
 def _scaled(slope: float, inter: float) -> bool:
     """Whether the C++ core applies scl_slope/scl_inter (same predicate as
-    ``convert`` in nifti_reader.cpp): values are then floats, not the
-    on-disk integers."""
-    return slope not in (0.0, 1.0) or inter != 0.0
+    ``needs_scaling`` in nifti_reader.cpp / data/nifti.py): values are then
+    floats, not the on-disk integers. slope==0 or non-finite = no scaling,
+    per the NIfTI-1 spec."""
+    from glfusion_tpu.data.nifti import needs_scaling
+    return needs_scaling(slope, inter)
 
 
 def read_nifti_native(path: str | Path) -> np.ndarray:

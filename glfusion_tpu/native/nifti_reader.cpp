@@ -15,6 +15,8 @@
 // reshapes with order='F' exactly like the pure-Python reader
 // (glfusion_tpu/data/nifti.py). scl_slope/scl_inter are applied when set.
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -57,9 +59,12 @@ bool read_file(const char* path, std::vector<uint8_t>& out) {
     out.clear();
     // gzip footer ISIZE = uncompressed size mod 2^32: exact preallocation
     // for any volume < 4 GiB (all echo data), avoiding resize copies.
+    // Capped at 1 GiB — a corrupt/truncated footer must not request a
+    // multi-GiB allocation; the doubling loop below grows if genuine.
     uint32_t isize;
     std::memcpy(&isize, raw.data() + raw.size() - 4, 4);
-    out.resize(isize ? isize : raw.size() * 4 + (1 << 16));
+    size_t prealloc = isize ? isize : raw.size() * 4 + (1 << 16);
+    out.resize(std::min<size_t>(prealloc, size_t{1} << 30));
     zs.next_in = raw.data();
     zs.avail_in = static_cast<uInt>(raw.size());
     size_t total = 0;
@@ -178,15 +183,22 @@ bool parse_header(const std::vector<uint8_t>& buf, Header& h) {
   return true;
 }
 
+// NIfTI-1 scaling semantics: scl_slope == 0 means "no scaling" (scl_inter
+// is ignored too); non-finite slope/inter are treated as unset.  Mirrors
+// needs_scaling() in glfusion_tpu/data/nifti.py — keep the two in sync.
+bool needs_scaling(float slope, float inter) {
+  return std::isfinite(slope) && std::isfinite(inter) && slope != 0.0f &&
+         !(slope == 1.0f && inter == 0.0f);
+}
+
 template <typename T>
 void convert(const uint8_t* src, float* dst, int64_t n, bool swap,
              float slope, float inter) {
-  bool scale = !(slope == 0.0f || slope == 1.0f) || inter != 0.0f;
-  float s = (slope == 0.0f) ? 1.0f : slope;
+  bool scale = needs_scaling(slope, inter);
   for (int64_t i = 0; i < n; ++i) {
     T v = load_scalar<T>(src + i * sizeof(T), swap);
     float f = static_cast<float>(v);
-    dst[i] = scale ? f * s + inter : f;
+    dst[i] = scale ? f * slope + inter : f;
   }
 }
 
@@ -231,7 +243,7 @@ extern "C" {
 
 // dims_out: int64[8] -> [ndim, d1..d7]; numel_out: total voxel count.
 int gl_nifti_query(const char* path, int64_t* dims_out, int* dtype_out,
-                   int64_t* numel_out) {
+                   int64_t* numel_out) try {
   std::vector<uint8_t> buf;
   if (!read_file_prefix(path, buf, 352)) return 1;
   Header h;
@@ -241,6 +253,8 @@ int gl_nifti_query(const char* path, int64_t* dims_out, int* dtype_out,
   *dtype_out = h.dtype;
   *numel_out = h.numel;
   return 0;
+} catch (...) {
+  return 8;
 }
 
 // v2: also reports scl_slope/scl_inter so the Python wrapper can decide
@@ -248,7 +262,7 @@ int gl_nifti_query(const char* path, int64_t* dims_out, int* dtype_out,
 // (scaling applied => values are floats; casting back would truncate).
 int gl_nifti_query_v2(const char* path, int64_t* dims_out, int* dtype_out,
                       int64_t* numel_out, float* slope_out,
-                      float* inter_out) {
+                      float* inter_out) try {
   std::vector<uint8_t> buf;
   if (!read_file_prefix(path, buf, 352)) return 1;
   Header h;
@@ -260,6 +274,8 @@ int gl_nifti_query_v2(const char* path, int64_t* dims_out, int* dtype_out,
   *slope_out = h.scl_slope;
   *inter_out = h.scl_inter;
   return 0;
+} catch (...) {
+  return 8;
 }
 
 // Raw voxel bytes (no f32 round trip) — the fast path for UNSCALED
@@ -268,17 +284,22 @@ int gl_nifti_query_v2(const char* path, int64_t* dims_out, int* dtype_out,
 // reader) and 6 when scl_slope/scl_inter apply (values must be scaled,
 // use the f32 path).
 int gl_nifti_read_raw(const char* path, uint8_t* out, int64_t nbytes) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return 1;
-  Header h;
-  if (!parse_header(buf, h)) return 2;
-  if (h.big_endian) return 5;
-  bool scaled = !(h.scl_slope == 0.0f || h.scl_slope == 1.0f) ||
-                h.scl_inter != 0.0f;
-  if (scaled) return 6;
-  if (static_cast<int64_t>(buf.size()) - h.vox_offset < nbytes) return 3;
-  std::memcpy(out, buf.data() + h.vox_offset, nbytes);
-  return 0;
+  // try/catch: a corrupt gzip footer can provoke a huge allocation; the
+  // exception must not unwind across the C ABI (std::terminate) — return
+  // an rc so the caller falls back to the Python reader's clean error.
+  try {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, buf)) return 1;
+    Header h;
+    if (!parse_header(buf, h)) return 2;
+    if (h.big_endian) return 5;
+    if (needs_scaling(h.scl_slope, h.scl_inter)) return 6;
+    if (static_cast<int64_t>(buf.size()) - h.vox_offset < nbytes) return 3;
+    std::memcpy(out, buf.data() + h.vox_offset, nbytes);
+    return 0;
+  } catch (...) {
+    return 8;
+  }
 }
 
 // Parallel batch raw read: paths[i] copies into out + byte_offsets[i].
@@ -308,12 +329,16 @@ int gl_nifti_read_many_raw(const char* const* paths, int n, uint8_t* out,
 
 // out must have room for numel floats (file/Fortran order).
 int gl_nifti_read_f32(const char* path, float* out, int64_t numel) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return 1;
-  Header h;
-  if (!parse_header(buf, h)) return 2;
-  if (h.numel != numel) return 3;
-  return decode(buf, h, out) ? 0 : 4;
+  try {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, buf)) return 1;
+    Header h;
+    if (!parse_header(buf, h)) return 2;
+    if (h.numel != numel) return 3;
+    return decode(buf, h, out) ? 0 : 4;
+  } catch (...) {
+    return 8;
+  }
 }
 
 // Parallel batch read: paths[i] decodes into out_flat + offsets[i], which
@@ -328,7 +353,6 @@ int gl_nifti_read_many_f32(const char* const* paths, int n, float* out_flat,
   if (num_threads > n) num_threads = n;
   std::vector<int> failures(n, 0);
   std::vector<std::thread> pool;
-  std::vector<int> next(1, 0);
   // static round-robin partition: thread t takes items t, t+T, t+2T, ...
   for (int t = 0; t < num_threads; ++t) {
     pool.emplace_back([&, t]() {

@@ -119,7 +119,8 @@ class Trainer:
         self.eval_step = make_eval_step(cfg, self.model)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
-        self.ckpt = CheckpointManager(cfg.train.save_dir)
+        self.ckpt = CheckpointManager(cfg.train.save_dir,
+                                      max_to_keep=cfg.train.ckpt_keep)
         self.epoch = 0
         log_dir = Path(cfg.train.log_dir)
         if self._lead:

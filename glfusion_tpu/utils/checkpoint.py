@@ -15,7 +15,12 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3):
+    def __init__(self, directory: str, max_to_keep: Optional[int] = None):
+        """``max_to_keep=None`` (default) keeps every saved epoch — the
+        reference writes net_{epoch:05}.pth per epoch and its sweep
+        (main.py:316-323) selects the best epoch >= 50 over all of them,
+        so bounded retention would silently shrink the sweep candidates.
+        Pass an int (cfg.train.ckpt_keep / --ckpt-keep) to bound disk."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
         self._mgr = ocp.CheckpointManager(

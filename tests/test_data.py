@@ -197,6 +197,38 @@ def test_native_reader_scaled_volumes_stay_float(tmp_path):
     np.testing.assert_allclose(bgot, expect)
 
 
+def test_nifti_scaling_spec_edges(tmp_path):
+    """NIfTI-1 spec: scl_slope == 0 means NO scaling (scl_inter ignored),
+    and non-finite slope/inter are treated as unset — in BOTH readers.
+    Regression: the old predicate multiplied the volume by 0 (Python) or
+    substituted slope=1 and still added inter (C++) for slope==0 files."""
+    from glfusion_tpu.data.nifti import read_nifti_py
+    from glfusion_tpu.native import native_available
+
+    raw = np.arange(-6, 6, dtype=np.int16).reshape(4, 3)
+    cases = [("slope0.nii.gz", 0.0, 37.0),       # slope 0 + nonzero inter
+             ("nan.nii.gz", float("nan"), 5.0),  # NaN slope
+             ("naninter.nii.gz", 2.0, float("nan"))]  # NaN inter
+    for name, slope, inter in cases:
+        p = tmp_path / name
+        _write_scaled_nifti(p, raw, slope=slope, inter=inter)
+        got = read_nifti_py(p)
+        assert got.dtype == np.int16, name
+        np.testing.assert_array_equal(got, raw)
+        if native_available():
+            from glfusion_tpu.native import read_nifti_native
+            ngot = read_nifti_native(p)
+            assert ngot.dtype == np.int16, name
+            np.testing.assert_array_equal(ngot, raw)
+    # genuinely-scaled volumes come back float32 from BOTH readers (the
+    # result dtype must not depend on which backend decoded the file)
+    p = tmp_path / "scaled.nii.gz"
+    _write_scaled_nifti(p, raw, slope=2.5, inter=0.25)
+    pgot = read_nifti_py(p)
+    assert pgot.dtype == np.float32
+    np.testing.assert_allclose(pgot, raw.astype(np.float32) * 2.5 + 0.25)
+
+
 def test_prefetch_preserves_order_and_raises():
     from glfusion_tpu.data.prefetch import prefetch
 

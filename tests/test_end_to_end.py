@@ -149,6 +149,34 @@ def test_infer_and_sweep_apis(trained, tmp_path):
     assert best["val_dice"] >= 0.0
 
 
+def test_checkpoint_retention_default_keeps_all(tmp_path):
+    """The sweep (reference main.py:316-323) selects the best epoch >= 50
+    over EVERY saved checkpoint; the manager must therefore default to
+    unbounded retention (regression: Orbax's max_to_keep=3 default silently
+    restricted sweeps to the newest three epochs)."""
+    import jax.numpy as jnp
+    import optax
+
+    from glfusion_tpu.train.train_state import TrainState
+    from glfusion_tpu.utils.checkpoint import CheckpointManager
+
+    state = TrainState.create(
+        apply_fn=lambda *a, **k: None,
+        params={"w": jnp.zeros((2,))},
+        batch_stats={},
+        tx=optax.sgd(1e-2),
+    )
+    keep_all = CheckpointManager(str(tmp_path / "all"))
+    for e in range(5):
+        keep_all.save(state, epoch=e)
+    assert keep_all.all_steps() == [0, 1, 2, 3, 4]
+
+    bounded = CheckpointManager(str(tmp_path / "two"), max_to_keep=2)
+    for e in range(5):
+        bounded.save(state, epoch=e)
+    assert bounded.all_steps() == [3, 4]
+
+
 def test_empty_cycle_stream_trains_without_cycle_loss(trained):
     """Unlabeled records may exist yet yield ZERO cycle clips (every
     requested view missing): the epoch must train without the cycle loss,
