@@ -226,10 +226,20 @@ def _run_regression(args, cfg, data_paths) -> int:
                                 label_type=args.label_type,
                                 input_adapter=adapter)
     if args.mode == "reg-train":
-        for epoch in range(cfg.train.num_epochs):
+        if args.resume and trainer.load_latest():
+            print(f"[glfusion] resumed at epoch {trainer.epoch}", flush=True)
+        for epoch in range(trainer.epoch, cfg.train.num_epochs):
             m = trainer.train_epoch(epoch)
             print(f"[glfusion] reg epoch {epoch}: loss={m['loss']:.4f} "
                   f"({m['steps']} steps)", flush=True)
+            if (epoch + 1) % cfg.train.save_every_epochs == 0 \
+                    or epoch == cfg.train.num_epochs - 1:
+                trainer.save(epoch)
+        trainer.ckpt.wait()
+    else:  # reg-val scores the newest checkpoint, not fresh init
+        if not trainer.load_latest():
+            print("[glfusion] reg-val: no checkpoint found under "
+                  f"{cfg.train.save_dir}; evaluating fresh init", flush=True)
     import math
     metrics = trainer.evaluate()
     # strict JSON: r2 is undefined (±inf) for a single-sample val split

@@ -329,18 +329,57 @@ class AVSTransfusion(nn.Module):
 
 
 class AVSBaseline(nn.Module):
-    """Per-view independent decode, no cross-view fusion
-    (reference AVS_baseline :791-955). Input (V, B, H, W, 1)."""
+    """Per-view independent decode, no cross-view fusion (reference
+    AVS_baseline :791-955): ONE shared B2-ResNet (branch-1 taps,
+    :886-897), and — unlike Transfusion's uniform-width decoder —
+    IDENTITY-width Classifier_Modules (conv_i: ch_i→ch_i for
+    ch = 256/512/1024/2048, :804-807) feeding a NARROWING
+    FeatureFusionBlock chain 2048→1024→512→256→256 (:809-812).
+    Input (V, B, H, W, 1) → (V, B, ~H, ~W, num_classes)."""
 
-    channel: int = 256
     num_classes: int = 5
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks: Sequence[int] = (3, 4, 6, 3)
+    # deepest-stage features (V, B, h, w, C) for the registry adapter's
+    # cycle-loss pooling (the reference never trains this family)
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return AVSTransfusion(channel=self.channel, fuse_stages=(),
-                              num_classes=self.num_classes,
-                              widths=tuple(self.widths),
-                              blocks=tuple(self.blocks),
-                              name="body")(x, train)
+        v = x.shape[0]
+        x = jnp.repeat(x, 3, axis=-1)
+        shared = B2ResNet(tuple(self.widths), tuple(self.blocks),
+                          name="resnet")
+        ch = [wd * 4 for wd in self.widths]  # bottleneck expansion ×4
+        heads = [ClassifierModule(ch[i], name=f"conv{i + 1}")
+                 for i in range(4)]
+        fm = [[] for _ in range(4)]
+        for vi in range(v):
+            x1, x2, x3, x4, _, _ = shared(x[vi], train)
+            taps = [x1, x2, x3, x4]
+            for i in range(4):
+                fm[i].append(heads[i](taps[i]))
+        fm = [jnp.stack(f) for f in fm]  # each (V, B, h, w, ch[i])
+
+        t4 = fm[2].shape[2:4]
+        t3 = fm[1].shape[2:4]
+        t2 = fm[0].shape[2:4]
+        t1 = (fm[0].shape[2] * 2, fm[0].shape[3] * 2)
+        # skip-add requires path_i's output width == stage_(i-1)'s head
+        # width, which the narrowing chain guarantees (:915-918)
+        paths = [FeatureFusionBlock(ch[2], t4, name="path4"),
+                 FeatureFusionBlock(ch[1], t3, name="path3"),
+                 FeatureFusionBlock(ch[0], t2, name="path2"),
+                 FeatureFusionBlock(ch[0], t1, name="path1")]
+        head = OutputHead(self.num_classes, name="output_conv")
+        outs = []
+        for vi in range(v):
+            y = paths[0](fm[3][vi])
+            y = paths[1](y, fm[2][vi])
+            y = paths[2](y, fm[1][vi])
+            y = paths[3](y, fm[0][vi])
+            outs.append(head(y))
+        out = jnp.stack(outs)
+        if self.return_features:
+            return out, fm[3]
+        return out

@@ -101,6 +101,15 @@ class LegacyMultiviewSeg(nn.Module):
         cfg = self.cfg
         v, b, hh, ww, _ = x.shape
         multi_stage = self.fusion == "tpavi" and len(self.fusion_stages) > 1
+        if not multi_stage and tuple(self.fusion_stages) != (4,):
+            # only tpavi supports interleaved multi-stage fusion (model20);
+            # every other family member fuses the final f4 — reject instead
+            # of silently training a different model than configured
+            raise ValueError(
+                f"fusion_stages={tuple(self.fusion_stages)} is only "
+                f"supported as multi-stage tpavi (model20); "
+                f"fusion={self.fusion!r} fuses at stage 4 only — "
+                f"use fusion_stages=(4,)")
 
         def fuse_tpavi(f, name):
             attn = TPAVI(name=name)

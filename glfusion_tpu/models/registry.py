@@ -115,7 +115,8 @@ class _AVSAdapter(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
-        from glfusion_tpu.models.avs import AVSTransfusion, PredEndecoder
+        from glfusion_tpu.models.avs import (AVSBaseline, AVSTransfusion,
+                                             PredEndecoder)
 
         hh, ww = x.shape[2], x.shape[3]
         kw = dict(channel=self.cfg.aspp_channels,
@@ -123,7 +124,15 @@ class _AVSAdapter(nn.Module):
                   widths=tuple(self.cfg.widths),
                   blocks=tuple(self.cfg.block_sizes),
                   return_features=True)
-        if self.flavor == "pred_endecoder":
+        if self.flavor == "baseline":
+            # identity-width heads + narrowing decoder — widths come from
+            # the backbone, not the uniform `channel` (AVS_baseline :804-812)
+            mask, feat = AVSBaseline(
+                num_classes=self.cfg.num_classes,
+                widths=tuple(self.cfg.widths),
+                blocks=tuple(self.cfg.block_sizes),
+                return_features=True, name="net")(x, train)
+        elif self.flavor == "pred_endecoder":
             net = PredEndecoder(**kw, name="net")
             v = x.shape[0]
             masks, feats = [], []
@@ -134,7 +143,6 @@ class _AVSAdapter(nn.Module):
             mask, feat = jnp.stack(masks), jnp.stack(feats)
         else:
             flavor_kw = {
-                "baseline": dict(fuse_stages=()),
                 "transfusion": dict(fusion="transformer"),
                 "model17": dict(fusion="tpavi", per_view_params=True),
             }[self.flavor]

@@ -15,7 +15,6 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from glfusion_tpu.config import Config
 from glfusion_tpu.data.infos import PatientIndex, load_infos, load_split
@@ -24,7 +23,8 @@ from glfusion_tpu.data.pipeline import (
     preprocess_regression_batch,
 )
 from glfusion_tpu.parallel import make_mesh, shard_batch
-from glfusion_tpu.train.train_state import TrainState
+from glfusion_tpu.train.train_state import TrainState, make_optimizer
+from glfusion_tpu.utils.checkpoint import CheckpointManager
 from glfusion_tpu.utils.scores import mae, mse, r2, rmse
 
 
@@ -104,15 +104,23 @@ class RegressionTrainer:
         sample = self._model_input(jnp.zeros((v, 1, c, c, t)))
         variables = jax.jit(
             lambda r: self.model.init(r, sample, False))(rng)
+        # the same Adam(wd)+cosine recipe as the segmentation Trainer —
+        # the reference trains everything with Adam lr 3e-4 wd 1e-5 +
+        # CosineAnnealingLR (main.py:161-169)
+        steps_per_epoch = max(
+            len(self.train_loader) // cfg.train.batch_size, 1)
         self.state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
-            tx=optax.adam(cfg.opt.lr),
+            tx=make_optimizer(cfg, steps_per_epoch),
         )
         self.train_step = make_regression_train_step(self.model)
         self.eval_step = make_regression_eval_step(self.model)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        self.ckpt = CheckpointManager(cfg.train.save_dir,
+                                      max_to_keep=cfg.train.ckpt_keep)
+        self.epoch = 0
 
     def _model_input(self, clips: jnp.ndarray) -> jnp.ndarray:
         """(V, B, H, W, T) device clips → the model's input convention.
@@ -123,7 +131,8 @@ class RegressionTrainer:
         """
         if self._input_adapter is not None:
             return self._input_adapter(clips)
-        return jnp.transpose(clips, (1, 4, 2, 3, 0))
+        from glfusion_tpu.models.registry import _views_to_channels
+        return _views_to_channels(clips)
 
     def train_epoch(self, epoch: int = 0) -> Dict[str, float]:
         cfg = self.cfg
@@ -138,13 +147,34 @@ class RegressionTrainer:
                      "targets": jnp.asarray(host_batch["targets"])}
             batch = shard_batch(batch, self.mesh, batch_axis=0)
             self.state, m = self.train_step(self.state, batch, r_step)
-            losses.append(float(m["loss"]))
+            # keep device scalars — a float() here would block every step
+            # on a device→host sync (pathological through the remote TPU
+            # transport); ONE transfer for the whole epoch below, like the
+            # segmentation Trainer
+            losses.append(m["loss"])
+        losses = jax.device_get(losses)
         return {"loss": float(np.mean(losses)) if losses else 0.0,
                 "steps": len(losses)}
 
+    def save(self, epoch: int, wait: bool = False) -> None:
+        """Checkpoint the full regression train state (async by default)."""
+        self.ckpt.save(self.state, epoch, wait=wait)
+
+    def load_latest(self) -> bool:
+        """Restore the newest checkpoint; returns whether one was found
+        (reg-val without this would score freshly-initialized weights)."""
+        restored = self.ckpt.restore_latest(self.state)
+        if restored is None:
+            return False
+        self.state, self.epoch = restored
+        return True
+
     def evaluate(self) -> Dict[str, float]:
         preds, targets = [], []
-        for host_batch in self.val_loader.batches(1):
+        # full batches (one dispatch per batch_size patients, not per
+        # patient); the loader emits a short final batch, costing at most
+        # one extra compile shape
+        for host_batch in self.val_loader.batches(self.cfg.train.batch_size):
             clips = preprocess_regression_batch(
                 jax.random.PRNGKey(0), jnp.asarray(host_batch["clips_raw"]),
                 crop_hw=self.cfg.data.crop_hw, is_train=False)

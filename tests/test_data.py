@@ -90,7 +90,8 @@ def test_regression_trainer_end_to_end(synth, tmp_path):
         cfg,
         model=dataclasses.replace(cfg.model, views=("1", "4")),
         data=dataclasses.replace(cfg.data, reg_clip_frames=8),
-        train=dataclasses.replace(cfg.train, batch_size=2))
+        train=dataclasses.replace(cfg.train, batch_size=2,
+                                  save_dir=str(tmp_path / "reg_ckpt")))
 
     class TinyReg(nn.Module):
         @nn.compact
@@ -114,6 +115,14 @@ def test_regression_trainer_end_to_end(synth, tmp_path):
     ev = tr.evaluate()
     assert set(ev) == {"mse", "mae", "rmse", "r2"}
     assert np.isfinite(ev["rmse"])
+
+    # checkpoint roundtrip: reg-val must score SAVED weights, not fresh init
+    tr.save(0, wait=True)
+    tr2 = RegressionTrainer(cfg, TinyReg(), data_paths)
+    assert tr2.load_latest() and tr2.epoch == 1
+    w0 = np.asarray(tr.state.params["head"]["kernel"])
+    np.testing.assert_array_equal(
+        w0, np.asarray(tr2.state.params["head"]["kernel"]))
 
 
 def test_native_nifti_reader_matches_python(tmp_path):

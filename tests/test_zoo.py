@@ -123,11 +123,27 @@ def test_pred_endecoder_cross_view():
 def test_avs_multiview_decoders(cls_name):
     import glfusion_tpu.models as zoo
 
-    m = getattr(zoo, cls_name)(num_classes=5, **_AVS_TINY)
+    kw = dict(_AVS_TINY)
+    if cls_name == "AVSBaseline":
+        kw.pop("channel")  # widths come from the backbone, not a uniform ch
+    m = getattr(zoo, cls_name)(num_classes=5, **kw)
     x = jnp.zeros((3, 1, 64, 64, 1))
     v = m.init(jax.random.PRNGKey(0), x, False)
     out = m.apply(v, x, False)
     assert out.shape[0] == 3 and out.shape[-1] == 5
+    if cls_name == "AVSBaseline":
+        # reference AVS_baseline :804-812: IDENTITY-width Classifier_Modules
+        # (conv_i: ch_i→ch_i) + NARROWING FeatureFusionBlock chain
+        # ch4→ch3→ch2→ch1→ch1 — not Transfusion's uniform `channel`
+        ch = [w * 4 for w in _AVS_TINY["widths"]]
+        p = v["params"]
+        for i in range(4):
+            k = p[f"conv{i + 1}"]["conv0"]["kernel"]
+            assert k.shape[-2:] == (ch[i], ch[i]), (i, k.shape)
+        assert p["path4"]["conv2"]["kernel"].shape[-1] == ch[2]
+        assert p["path3"]["conv2"]["kernel"].shape[-1] == ch[1]
+        assert p["path2"]["conv2"]["kernel"].shape[-1] == ch[0]
+        assert p["path1"]["conv2"]["kernel"].shape[-1] == ch[0]
 
 
 @pytest.mark.parametrize("kw", [
@@ -151,6 +167,21 @@ def test_legacy_variant_family(kw):
     v = m.init(jax.random.PRNGKey(0), x, False)
     out = m.apply(v, x, False)
     assert out["mask"].shape == (3, 2, 32, 32, 5)
+
+
+def test_legacy_rejects_unsupported_fusion_stages():
+    """fusion_stages is only honored as multi-stage tpavi (model20);
+    any other combination must error, not silently fuse f4 only."""
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.legacy_variants import LegacyMultiviewSeg
+
+    cfg = tiny_config().model
+    x = jnp.zeros((2, 1, 32, 32, 1))
+    for kw in [dict(fusion="channel_transformer", fusion_stages=(1, 2, 3, 4)),
+               dict(fusion="tpavi", fusion_stages=(3,))]:
+        m = LegacyMultiviewSeg(cfg, **kw)
+        with pytest.raises(ValueError, match="fusion_stages"):
+            m.init(jax.random.PRNGKey(0), x, False)
 
 
 def test_legacy_shared_backbone_has_single_param_set():
