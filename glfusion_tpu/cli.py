@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="regression target column (reference loader.py:140)")
     p.add_argument("--variant", default="global_and_local",
                    choices=["global_and_local", "global_only", "local_only",
-                            "no_fusion", "conv_merge", "fg_bg",
+                            "cyc_nofusion", "global_only_cyc_nofusion",
+                            "conv_merge", "fg_bg",
                             "early_fusion", "late_fusion", "cps",
                             "temporal"],
                    help="'temporal' = Global_and_Local_Temporal intent "

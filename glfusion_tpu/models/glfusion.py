@@ -17,14 +17,17 @@ TPU-first redesign:
     parameter axis via ``nn.vmap`` — the per-view Python loop becomes one
     compiled, MXU-batched computation.
   * Ablation variants of the reference are config switches, not code copies:
-    Global_only ``:1999``, Local_only ``:2113``, cyc_nofusion ``:2628``
-    (same graph, trainer skips fusion grads), conv_merge ``:2766`` (concat +
-    per-view 1×1 merge), Foreground_and_Background ``:2887`` (global path
-    sees f4·(1−atten)), early_fusion ``:2251`` (input-level view concat →
-    per-view 1×1 mix, no attention), late_fusion ``:2317`` (logit-level
-    concat → per-view 1×1 mix), Global_and_Local_Temporal ``:1846`` (video
-    clips fold T into the attention token axis — implemented by intent; the
-    reference's ``.shape(...)`` call at ``:1962`` never ran).
+    Global_only ``:1999``, Local_only ``:2113`` (cycle slot = atten_map,
+    ``:2249``), cyc_nofusion ``:2628`` / Global_only_cyc_nofusion ``:3026``
+    (same mask graph as their base; the cycle slot returns RAW f4,
+    ``:2763``/``:3138``), conv_merge ``:2766`` (concat + per-view 1×1
+    merge), Foreground_and_Background ``:2887`` (global path sees
+    f4·(1−atten); cycle slot = f4_fusion, ``:3024``), early_fusion
+    ``:2251`` (input-level view concat → per-view 1×1 mix, no attention),
+    late_fusion ``:2317`` (logit-level concat → per-view 1×1 mix),
+    Global_and_Local_Temporal ``:1846`` (video clips fold T into the
+    attention token axis — implemented by intent; the reference's
+    ``.shape(...)`` call at ``:1962`` never ran).
   * Global_and_Local_CPS ``:3141`` (cross-pseudo-supervision twin) is the
     separate ``GlobalAndLocalCPS`` wrapper below.
 """
@@ -44,14 +47,24 @@ from glfusion_tpu.ops.resize import resize_bilinear
 
 
 def _per_view(module_cls):
-    """Lift a single-view module over the leading view axis with stacked params."""
+    """Lift a single-view module over the leading view axis with stacked params.
+
+    ``split_rngs={'params': False}``: every view's replica initializes from
+    the SAME rng, i.e. identical starting weights — the reference builds
+    each view by ``copy.deepcopy`` of one instance (ours.py:1724-1744), so
+    all views start equal and diverge only through their per-view data.
+    (Known small deviation: the reference re-creates the classifier/
+    centerness FINAL 1×1 convs fresh per view — those ~3k params start
+    independent there, identical here.) Dropout stays split: independent
+    draws per view, like the reference's independent module calls.
+    """
     return nn.vmap(
         module_cls,
         in_axes=(0, None),
         out_axes=0,
         variable_axes={"params": 0, "batch_stats": 0,
                        "intermediates": 0},
-        split_rngs={"params": True, "dropout": True},
+        split_rngs={"params": False, "dropout": True},
     )
 
 
@@ -122,7 +135,15 @@ class GlobalAndLocal(nn.Module):
         )
 
         attn_impl = "pallas" if cfg.use_pallas_fusion else "auto"
+        # The cyc_nofusion classes (reference :2628, :3026) are the SAME
+        # mask graph as their base variant — only the cycle-feature slot
+        # returns RAW f4 instead of the attended features (:2763, :3138).
         variant = cfg.variant
+        cyc_raw = False
+        if variant == "cyc_nofusion":
+            variant, cyc_raw = "global_and_local", True
+        elif variant == "global_only_cyc_nofusion":
+            variant, cyc_raw = "global_only", True
 
         if variant == "early_fusion":
             # Input-level fusion (reference :2299-2303): channel-concat the V
@@ -149,11 +170,16 @@ class GlobalAndLocal(nn.Module):
             return jnp.swapaxes(y, 0, 1)
 
         if features_only:
-            if variant == "fg_bg":
+            # fg_bg's cycle slot is the full global+local f4_fusion
+            # (:3024) and local_only's is the head-derived atten map
+            # (:2249) — neither can skip the heads, so features_only would
+            # CHANGE the loss, not just the BN stats. Refuse.
+            if variant in ("fg_bg", "local_only"):
                 raise ValueError(
-                    "features_only is unsupported for fg_bg (atten needed)")
-            use_g = variant in ("global_and_local", "global_only",
-                                "conv_merge")
+                    f"features_only is unsupported for {cfg.variant!r} "
+                    "(its cycle features need the classifier heads)")
+            use_g = not cyc_raw and variant in (
+                "global_and_local", "global_only", "conv_merge")
             feat = attend(f4, "global_attn") if use_g else f4
             return {"f4_global": feat}
 
@@ -195,12 +221,16 @@ class GlobalAndLocal(nn.Module):
             f4_fusion = f4_global_fusion
         elif variant == "local_only":
             f4_fusion = f4_local_fusion
-        elif variant in ("no_fusion", "early_fusion", "late_fusion"):
+        elif variant in ("early_fusion", "late_fusion"):
             f4_fusion = f4
         else:
             raise ValueError(f"unknown variant {variant!r}")
 
         mask = classifier(f4_fusion, train)  # (V, B, h, w, 5)
+        if cls_f4 is None and f4_fusion is f4 and not train:
+            # early/late_fusion decode RAW f4: these pre-mix logits are
+            # bit-identical to classifier(f4) in eval — reusable as mask_bb
+            cls_f4 = mask
         if variant == "late_fusion":
             # Logit-level fusion (reference :2372-2375): concat the V per-view
             # 5-ch logit maps → per-view 1×1 conv mixes 5V→5.
@@ -219,15 +249,28 @@ class GlobalAndLocal(nn.Module):
             mask_bb = classifier(f4, train)
         mask_bb = resize_bilinear(mask_bb, (hh, ww))
 
-        if f4_global_fusion is None:
-            f4_global_fusion = f4
+        # Cycle-feature slot: faithful to each reference class's 3rd return
+        # value (what main.py:220 pools for the cycle loss).
+        if cyc_raw:
+            f4_cycle = f4                # cyc_nofusion :2763, :3138
+        elif variant == "fg_bg":
+            f4_cycle = f4_fusion         # :3024 (global + local sum)
+        elif variant == "local_only":
+            f4_cycle = atten             # :2249 atten_map (V, B, h, w, 1)
+        elif f4_global_fusion is not None:
+            f4_cycle = f4_global_fusion  # :1843, :2111, :2884
+        else:
+            # early/late_fusion return None here (:2315, :2383) — their
+            # cycle path could never run in the reference; raw f4 is the
+            # working extension
+            f4_cycle = f4
         if f4_local_fusion is None:
             f4_local_fusion = f4
 
         return {
             "mask": mask,                       # (V, B, H, W, 5) logits
             "mask_bb": mask_bb,                 # (V, B, H, W, 5) logits
-            "f4_global": f4_global_fusion,      # (V, B, h, w, C)
+            "f4_global": f4_cycle,              # (V, B, h, w, C)
             "f4_local": f4_local_fusion,        # (V, B, h, w, C)
         }
 

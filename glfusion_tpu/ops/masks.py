@@ -53,6 +53,12 @@ def mask_to_allclass(raw_mask: jnp.ndarray, view: str | jnp.ndarray) -> jnp.ndar
     else:
         view_idx = view
     table = jnp.asarray(_TABLE_ARR)
-    raw = jnp.clip(raw_mask.astype(jnp.int32), 0, _MAX_RAW_LABEL)
-    chan = table[view_idx][raw]  # (..., H, W) global channel id or -1
+    raw = raw_mask.astype(jnp.int32)
+    # out-of-range raw values map to BACKGROUND, like the reference's
+    # exact-equality tests (loader.py:358-414 torch.where(mask==value));
+    # clipping them into the table would invent foreground for unknown
+    # labels. Negative values likewise.
+    in_range = (raw >= 0) & (raw <= _MAX_RAW_LABEL)
+    chan = table[view_idx][jnp.clip(raw, 0, _MAX_RAW_LABEL)]
+    chan = jnp.where(in_range, chan, -1)  # (..., H, W) channel id or -1
     return (chan[..., None] == jnp.arange(NUM_CLASSES)).astype(jnp.float32)

@@ -30,11 +30,16 @@ def _bce_mean(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 
 def _cycle_from_start(feat: jnp.ndarray, start_onehot: jnp.ndarray,
                       target_region: int, cyc_off: int, chunk: int,
-                      temperature: float) -> jnp.ndarray:
-    """Cycle-consistency BCE for one (possibly soft) chunk start.
+                      temperature: float,
+                      bce_target: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Cycle-consistency BCE for one chunk start.
 
-    feat: (T, D) per-frame pooled features; start_onehot: (S,) with
-    S = target_region - (chunk + cyc_off) + 1. Mirrors the gather/soft-NN
+    feat: (T, D) per-frame pooled features; start_onehot: (S,) HARD one-hot
+    with S = target_region - (chunk + cyc_off) + 1, used to select the
+    query window (soft select keeps static shapes). ``bce_target`` (default
+    = start_onehot) is the BCE label only — the reference's soft label
+    (main.py:792-794) changes the TARGET after computing similarities from
+    the hard start, never the window selection. Mirrors the gather/soft-NN
     math of reference ``main.py:650-717`` with static shapes.
     """
     t_total, d = feat.shape
@@ -74,7 +79,8 @@ def _cycle_from_start(feat: jnp.ndarray, start_onehot: jnp.ndarray,
     qwindow = qdist_shft[: q - chunk + 1]             # (S, chunk)
     q_sim = -jnp.sum(qwindow, axis=1) / d / chunk * temperature  # (S,)
 
-    return _bce_mean(q_sim, start_onehot)
+    target = start_onehot if bce_target is None else bce_target
+    return _bce_mean(q_sim, target)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -102,9 +108,13 @@ def dense_seg_cycle_loss(feat: jnp.ndarray, *, target_region: int = 16,
     step = 1 if is_overlap else chunk
     starts = jnp.arange(0, s, step)
     onehots = jax.nn.one_hot(starts, s)
+    # soft label softens only the BCE TARGET (reference main.py:792-794);
+    # the query-window selection stays hard
+    targets = onehots
     if soft_label:
-        onehots = jnp.where(onehots == 1.0, 0.8, 0.2 / (s - 1))
-    losses = jax.vmap(lambda oh: _cycle_from_start(
-        feat, oh, target_region, cyc_off, chunk, temperature))(onehots)
+        targets = jnp.where(onehots == 1.0, 0.8, 0.2 / max(s - 1, 1))
+    losses = jax.vmap(lambda oh, tgt: _cycle_from_start(
+        feat, oh, target_region, cyc_off, chunk, temperature,
+        bce_target=tgt))(onehots, targets)
     # reference divides the summed loss by S regardless of step (main.py:798)
     return jnp.sum(losses) / s

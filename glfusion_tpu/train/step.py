@@ -29,6 +29,22 @@ from glfusion_tpu.train.metrics import confusion_counts
 from glfusion_tpu.train.train_state import TrainState
 
 
+def _test_view_indices(cfg: Config) -> tuple:
+    """Indices of the supervised (loss-bearing) views within model.views.
+
+    A test view absent from the model's views is a misconfiguration: the
+    supervised BCE term would silently vanish and training would proceed
+    on the cycle loss alone (the reference KeyErrors immediately,
+    main.py:209-211)."""
+    views = tuple(cfg.model.views)
+    missing = [v for v in cfg.train.test_views if v not in views]
+    if missing:
+        raise ValueError(
+            f"test_views {missing} not in model views {views}; the "
+            f"supervised loss would be silently empty")
+    return tuple(views.index(v) for v in cfg.train.test_views)
+
+
 def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
                     cps: bool = False,
                     compiler_options: "dict | None | str" = "default"):
@@ -53,8 +69,7 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
     if compiler_options == "default":
         compiler_options = default_compiler_options()
     views = tuple(cfg.model.views)
-    test_idx = tuple(views.index(v) for v in cfg.train.test_views
-                     if v in views)
+    test_idx = _test_view_indices(cfg)
     tc = cfg.train
     view_ids = None
     if fuse_preprocess:
@@ -201,6 +216,11 @@ def make_eval_step(cfg: Config, model,
     """
     if compiler_options == "default":
         compiler_options = default_compiler_options()
+    # the eval loss, like the train loss, sums over the TEST views only
+    # (reference main.py:511-512: ``for view in self.test_view``) — summing
+    # all views would inflate val loss relative to both the reference and
+    # the training objective
+    test_idx = _test_view_indices(cfg)
 
     @functools.partial(jax.jit,
                        compiler_options=compiler_options)
@@ -210,7 +230,7 @@ def make_eval_step(cfg: Config, model,
             batch["images"], False)
         logits = out["mask"]  # (V, B, H, W, 5)
         loss = 0.0
-        for vi in range(logits.shape[0]):
+        for vi in test_idx:
             loss += bce_with_logits_sum(logits[vi], batch["masks"][vi])
         pred = (logits > 0.0).astype(jnp.float32)
         # overall per-view counts

@@ -86,10 +86,11 @@ class Trainer:
         self.view_ids = view_ids_tuple(cfg.model.views)
         if cfg.train.cycle_light and (
                 cfg.model.arch != "glfusion" or self._cps
-                or cfg.model.variant == "fg_bg"):
+                or cfg.model.variant in ("fg_bg", "local_only")):
             raise ValueError(
-                "cycle_light requires the plain glfusion arch "
-                "(non-CPS, non-fg_bg): the fast cycle forward computes "
+                "cycle_light requires the plain glfusion arch (non-CPS; "
+                "not fg_bg/local_only, whose cycle features need the "
+                "classifier heads): the fast cycle forward computes "
                 "f4_global directly")
         if cfg.train.temporal and (cfg.model.arch != "glfusion"
                                    or self._cps):

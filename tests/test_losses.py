@@ -29,7 +29,8 @@ def test_bce_sum_matches_torch():
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
 
 
-def _numpy_cycle_oracle(feat, start, region, off, chunk, temp):
+def _numpy_cycle_oracle(feat, start, region, off, chunk, temp,
+                        soft_label=False):
     """Loop-based soft-NN cycle loss for one start index."""
     t, d = feat.shape
     query, key = feat[:region], feat[region:]
@@ -63,6 +64,10 @@ def _numpy_cycle_oracle(feat, start, region, off, chunk, temp):
             tot += np.dot(diff, diff)
         qsim[i] = -tot / d / chunk * temp
     onehot = np.eye(s)[start]
+    if soft_label:
+        # reference main.py:792-794: softening applies to the BCE TARGET
+        # only, after the similarities were computed from the hard start
+        onehot = np.where(onehot == 1.0, 0.8, 0.2 / (s - 1))
     # mean-reduced BCE with logits
     x, y = qsim, onehot
     per = np.maximum(x, 0) - x * y + np.log1p(np.exp(-np.abs(x)))
@@ -99,6 +104,23 @@ def test_dense_cycle_equals_mean_of_starts():
     ours = float(dense_seg_cycle_loss(jnp.asarray(feat), target_region=region,
                                       cyc_off=off, chunk=chunk,
                                       temperature=temp))
+    np.testing.assert_allclose(ours, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_dense_cycle_soft_label_softens_target_only():
+    """soft_label must soften the BCE target AFTER the hard-start window
+    selection (reference main.py:792-794) — blending the selection one-hot
+    would compute every distance on mixed features."""
+    rs = np.random.RandomState(3)
+    region, off, chunk, temp = 8, 2, 3, 10.0
+    feat = rs.randn(20, 6).astype(np.float32)
+    s = region - (chunk + off) + 1
+    expect = np.mean([_numpy_cycle_oracle(feat, st, region, off, chunk, temp,
+                                          soft_label=True)
+                      for st in range(s)])
+    ours = float(dense_seg_cycle_loss(jnp.asarray(feat), target_region=region,
+                                      cyc_off=off, chunk=chunk,
+                                      temperature=temp, soft_label=True))
     np.testing.assert_allclose(ours, expect, rtol=1e-4, atol=1e-5)
 
 

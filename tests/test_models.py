@@ -108,7 +108,7 @@ def test_tpavi_matches_reference_formula():
 
 
 @pytest.mark.parametrize("variant", ["global_and_local", "global_only",
-                                     "local_only", "no_fusion"])
+                                     "local_only", "cyc_nofusion"])
 def test_global_and_local_forward_shapes(variant):
     cfg = tiny_config().model
     cfg = ModelConfig(**{**cfg.__dict__, "variant": variant})
@@ -119,7 +119,12 @@ def test_global_and_local_forward_shapes(variant):
     assert out["mask"].shape == (3, 2, 32, 32, 5)
     assert out["mask_bb"].shape == (3, 2, 32, 32, 5)
     assert out["f4_global"].shape[0] == 3
-    assert out["f4_global"].shape == out["f4_local"].shape
+    if variant == "local_only":
+        # reference Local_only returns the 1-ch atten_map in the cycle
+        # slot (ours.py:2249)
+        assert out["f4_global"].shape[-1] == 1
+    else:
+        assert out["f4_global"].shape == out["f4_local"].shape
 
 
 def test_global_and_local_per_view_params_are_stacked():
@@ -129,8 +134,10 @@ def test_global_and_local_per_view_params_are_stacked():
     vars_ = model.init(jax.random.PRNGKey(0), x, False)
     stem = vars_["params"]["backbone"]["stem_conv"]["kernel"]
     assert stem.shape[0] == 3  # leading view axis
-    # per-view params differ (split_rngs)
-    assert not np.allclose(np.asarray(stem[0]), np.asarray(stem[1]))
+    # every view starts with IDENTICAL weights — the reference deep-copies
+    # ONE instance per view (ours.py:1724-1744); views diverge only through
+    # their per-view gradients
+    np.testing.assert_array_equal(np.asarray(stem[0]), np.asarray(stem[1]))
 
 
 def test_global_and_local_train_mode_updates_batch_stats():
@@ -156,6 +163,69 @@ def test_variant_forward_shapes(variant):
     vars_ = model.init(jax.random.PRNGKey(0), x, False)
     out = model.apply(vars_, x, False)
     assert out["mask"].shape == (3, 2, 32, 32, 5)
+
+
+def test_variant_cycle_feature_slots():
+    """The cycle-feature slot ('f4_global') must match each reference
+    class's 3rd return value: cyc_nofusion → RAW f4 (ours.py:2763),
+    local_only → atten_map (:2249), fg_bg → global+local f4_fusion
+    (:3024), global_and_local → attended global (:1843)."""
+    import flax
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 2, 32, 32, 1))
+
+    def run(variant, **apply_kw):
+        cfg = ModelConfig(**{**tiny_config().model.__dict__,
+                             "variant": variant})
+        model = GlobalAndLocal(cfg)
+        vars_ = model.init(jax.random.PRNGKey(0), x, False)
+        return model, vars_, model.apply(vars_, x, False, **apply_kw)
+
+    # cyc_nofusion: full-fusion mask graph, raw-f4 cycle features — the
+    # features_only fast path returns the same raw f4
+    model, vars_, out = run("cyc_nofusion")
+    feat_only = model.apply(vars_, x, False, features_only=True)
+    np.testing.assert_array_equal(np.asarray(out["f4_global"]),
+                                  np.asarray(feat_only["f4_global"]))
+    # its mask comes from the FUSED features: same params as
+    # global_and_local (identical tree) give the identical mask
+    model_gl, vars_gl, out_gl = run("global_and_local")
+    assert (jax.tree_util.tree_structure(vars_["params"])
+            == jax.tree_util.tree_structure(vars_gl["params"]))
+    np.testing.assert_array_equal(np.asarray(out["mask"]),
+                                  np.asarray(out_gl["mask"]))
+    # ...but global_and_local's cycle slot is the ATTENDED global
+    np.testing.assert_array_equal(
+        np.asarray(out_gl["f4_global"]),
+        np.asarray(model_gl.apply(vars_gl, x, False,
+                                  features_only=True)["f4_global"]))
+
+    # local_only: cycle slot is the (V, B, h, w, 1) atten map in (0, 1)
+    _, _, out_lo = run("local_only")
+    a = np.asarray(out_lo["f4_global"])
+    assert a.shape[-1] == 1 and (a > 0).all() and (a < 1).all()
+
+    # fg_bg: cycle slot = f4_global_fusion + f4_local_fusion; recover the
+    # two attention outputs from intermediates to check the sum
+    cfg = ModelConfig(**{**tiny_config().model.__dict__, "variant": "fg_bg"})
+    model = GlobalAndLocal(cfg)
+    vars_ = model.init(jax.random.PRNGKey(0), x, False)
+    out, inter = model.apply(vars_, x, False, capture_intermediates=True)
+    ints = flax.traverse_util.flatten_dict(inter["intermediates"])
+    attn_out = {k[0]: v[0] for k, v in ints.items()
+                if k[-1] == "__call__" and len(k) == 2
+                and k[0] in ("global_attn", "local_attn")}
+    fusion = (jnp.swapaxes(attn_out["global_attn"], 0, 1)
+              + jnp.swapaxes(attn_out["local_attn"], 0, 1))
+    np.testing.assert_allclose(np.asarray(out["f4_global"]),
+                               np.asarray(fusion), rtol=1e-6, atol=1e-6)
+    # fg_bg / local_only refuse the features_only fast path
+    for bad in ("fg_bg", "local_only"):
+        cfg = ModelConfig(**{**tiny_config().model.__dict__,
+                             "variant": bad})
+        m = GlobalAndLocal(cfg)
+        with pytest.raises(ValueError, match="features_only"):
+            m.init(jax.random.PRNGKey(0), x, False, features_only=True)
 
 
 def test_temporal_video_mode_folds_frames_into_tokens():

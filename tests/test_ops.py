@@ -91,6 +91,17 @@ def test_mask_to_allclass(view, mapping):
     np.testing.assert_array_equal(out, expected)
 
 
+def test_mask_to_allclass_out_of_range_is_background():
+    """Unknown raw labels (>4, or negative) must map to background like the
+    reference's exact-equality tests — NOT be clipped into label 4 (which
+    would invent RV foreground on view '4')."""
+    raw = np.array([[5, 7, -1], [200, 4, 0]], np.int32)
+    out = np.asarray(mask_to_allclass(jnp.asarray(raw), "4"))
+    expected = np.zeros((2, 3, 5), np.float32)
+    expected[1, 1, 1] = 1.0  # only raw==4 → RV; everything else background
+    np.testing.assert_array_equal(out, expected)
+
+
 def test_mask_to_allclass_traced_view_index():
     raw = jnp.asarray(np.random.RandomState(6).randint(0, 5, size=(4, 4)))
     f = jax.jit(lambda r, v: mask_to_allclass(r, v))
