@@ -41,6 +41,12 @@ def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int],
 
     Default layout is NHWC-style (..., H, W, C); pass axes for others.
     """
+    if x.ndim < 3:
+        # the default -3/-2 axes would silently SWAP H/W on a 2-D input
+        # ((-3) % 2 == 1, (-2) % 2 == 0); demand an explicit channel axis
+        raise ValueError(
+            f"resize_nearest needs ndim >= 3 (got {x.ndim}); add a channel "
+            f"axis (x[..., None]) or pass explicit h_axis/w_axis")
     h_axis = h_axis % x.ndim
     w_axis = w_axis % x.ndim
     out_h, out_w = out_hw
@@ -52,9 +58,15 @@ def resize_nearest(x: jnp.ndarray, out_hw: tuple[int, int],
 
 
 def resize_bilinear(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
-    """Bilinear resize with align_corners=False semantics on (..., H, W, C)."""
+    """Bilinear resize with align_corners=False semantics on (..., H, W, C).
+
+    ``antialias=False`` explicitly: jax defaults to True, which widens the
+    kernel on DOWNSAMPLING and would diverge from torch
+    ``F.interpolate(mode='bilinear')`` (fixed 2-tap kernel). Upsampling —
+    every current call site — is identical either way.
+    """
     out_shape = x.shape[:-3] + (out_hw[0], out_hw[1], x.shape[-1])
-    return jax.image.resize(x, out_shape, method="linear")
+    return jax.image.resize(x, out_shape, method="linear", antialias=False)
 
 
 def _linear_weights_ac(out_size: int, in_size: int):

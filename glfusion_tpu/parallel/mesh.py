@@ -22,7 +22,19 @@ def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
         raise ValueError(f"{n} devices not divisible by model={model}")
     if data == -1:
         data = n // model
+    if data * model > n:
+        raise ValueError(
+            f"mesh (data={data}, model={model}) needs {data * model} "
+            f"devices but only {n} are available")
     if data * model != n:
+        # under-subscription is only safe single-process: in a multi-process
+        # run the excluded devices' processes would still enter the same
+        # jit and hang its collectives
+        if jax.process_count() > 1:
+            raise ValueError(
+                f"mesh (data={data}, model={model}) uses {data * model} of "
+                f"{n} global devices; multi-process runs must use ALL "
+                f"devices (every process enters the same program)")
         devices = devices[: data * model]
     arr = np.asarray(devices).reshape(data, model)
     return Mesh(arr, axis_names=("data", "model"))

@@ -27,11 +27,15 @@ def rmse(y_true, y_pred) -> jnp.ndarray:
 
 
 def r2(y_true, y_pred) -> jnp.ndarray:
-    """Coefficient of determination (sklearn r2_score semantics)."""
+    """Coefficient of determination (sklearn r2_score semantics, including
+    the constant-target edge: ss_tot == 0 → 1.0 if ss_res == 0 else 0.0,
+    never inf/nan)."""
     y_true, y_pred = jnp.asarray(y_true), jnp.asarray(y_pred)
     ss_res = jnp.sum((y_true - y_pred) ** 2)
     ss_tot = jnp.sum((y_true - jnp.mean(y_true)) ** 2)
-    return 1.0 - ss_res / ss_tot
+    plain = 1.0 - ss_res / jnp.where(ss_tot == 0, 1.0, ss_tot)
+    degenerate = jnp.where(ss_res == 0, 1.0, 0.0)
+    return jnp.where(ss_tot == 0, degenerate, plain)
 
 
 def c_index(y_true, y_pred) -> jnp.ndarray:
@@ -67,6 +71,11 @@ def dice_score_binary(y_true, y_pred_logits) -> jnp.ndarray:
         t = (true_cls == cls).astype(jnp.float32)
         axes = tuple(range(1, p.ndim))
         inter = jnp.sum(p * t, axis=axes)
-        denom = jnp.sum(p, axis=axes) + jnp.sum(t, axis=axes)
-        dices.append(jnp.where(denom > 0, 2 * inter / denom, jnp.nan))
+        t_sum = jnp.sum(t, axis=axes)
+        denom = jnp.sum(p, axis=axes) + t_sum
+        # MONAI 1.1.0 DiceMetric default ignore_empty=True: an entry with
+        # EMPTY ground truth is NaN (excluded from the mean) even when the
+        # prediction fires — not scored 0
+        dices.append(jnp.where(t_sum > 0, 2 * inter / jnp.maximum(denom, 1),
+                               jnp.nan))
     return jnp.nanmean(jnp.stack(dices))

@@ -18,10 +18,15 @@ class SummaryWriter:
         self._tb = None
         try:
             from torch.utils.tensorboard import SummaryWriter as TBWriter
-
-            self._tb = TBWriter(log_dir=log_dir)
         except Exception:
-            self._tb = None
+            return  # no torch: silent JSONL-only mode (documented fallback)
+        try:
+            self._tb = TBWriter(log_dir=log_dir)
+        except Exception as e:  # torch present but writer failed: SAY so
+            import sys
+            print(f"[glfusion] TensorBoard writer disabled "
+                  f"({type(e).__name__}: {e}); metrics.jsonl still written",
+                  file=sys.stderr)
 
     @property
     def active(self) -> bool:

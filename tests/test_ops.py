@@ -91,6 +91,24 @@ def test_mask_to_allclass(view, mapping):
     np.testing.assert_array_equal(out, expected)
 
 
+def test_crop_and_resize_reject_bad_inputs():
+    """Oversized crops (negative slice start → silent wrong-shape remnant)
+    and 2-D inputs (the default -3/-2 axes would swap H and W) must error,
+    not mangle."""
+    from glfusion_tpu.ops.crops import center_crop, random_crop
+    from glfusion_tpu.ops.resize import resize_nearest
+
+    x = jnp.zeros((9, 9, 1))
+    with pytest.raises(ValueError, match="exceeds"):
+        center_crop(x, (12, 12))
+    with pytest.raises(ValueError, match="exceeds"):
+        random_crop(jax.random.PRNGKey(0), x, (12, 4))
+    with pytest.raises(ValueError, match="ndim"):
+        center_crop(jnp.zeros((9, 9)), (4, 4))
+    with pytest.raises(ValueError, match="ndim"):
+        resize_nearest(jnp.zeros((9, 9)), (4, 4))
+
+
 def test_mask_to_allclass_out_of_range_is_background():
     """Unknown raw labels (>4, or negative) must map to background like the
     reference's exact-equality tests — NOT be clipped into label 4 (which

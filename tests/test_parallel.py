@@ -16,6 +16,17 @@ def test_mesh_shapes():
     assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
 
 
+def test_mesh_rejects_oversubscription():
+    """data*model beyond the device count must be a clear error, not an
+    opaque numpy reshape failure."""
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(data=4, model=4)  # 16 > 8 virtual devices
+    # under-subscription is allowed single-process (first devices used)
+    assert make_mesh(data=2, model=2).shape == {"data": 2, "model": 2}
+
+
 def test_variable_pspec_rule():
     big = jnp.zeros((3, 3, 128, 512))
     small = jnp.zeros((3, 3, 4, 8))

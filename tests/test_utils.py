@@ -29,6 +29,34 @@ def test_dice_score_binary_perfect_and_empty():
     assert abs(float(dice_score_binary(true, pred)) - 1.0) < 1e-6
 
 
+def test_dice_score_binary_matches_monai_ignore_empty():
+    """MONAI 1.1.0 DiceMetric (ignore_empty=True, the reference's pinned
+    default): an EMPTY ground-truth class is NaN — excluded from the
+    mean — even when the prediction fires. Scoring it 0 would deflate
+    the metric relative to the reference."""
+    from glfusion_tpu.utils.scores import dice_score_binary
+
+    # gt all class-0; prediction fires class-1 on half the pixels
+    true = jnp.zeros((1, 1, 4, 4), jnp.int32)
+    logit1 = jnp.concatenate(
+        [jnp.full((1, 2, 4), 5.0), jnp.full((1, 2, 4), -5.0)], axis=1)
+    pred = jnp.stack([-logit1, logit1], axis=1)  # (1, 2, 4, 4)
+    # class 1: gt empty → NaN (excluded); class 0: dice = 2·8/(8+16) = 2/3
+    got = float(dice_score_binary(true, pred))
+    assert abs(got - 2.0 / 3.0) < 1e-6
+
+
+def test_r2_constant_target_is_finite():
+    """sklearn r2_score semantics on a constant target: 0.0 when the
+    prediction misses, 1.0 when exact — never inf/nan (the single-sample
+    val-split case the CLI must serialize as strict JSON)."""
+    from glfusion_tpu.utils.scores import r2
+
+    yt = np.array([50.0, 50.0, 50.0])
+    assert float(r2(yt, np.array([48.0, 52.0, 50.0]))) == 0.0
+    assert float(r2(yt, yt.copy())) == 1.0
+
+
 def test_class_map_background_wins_when_nothing_fires():
     from glfusion_tpu.utils.visualize import class_map
 
