@@ -4,10 +4,11 @@ Behavior contract:
   * N parallel modality streams share ALL conv weights (``ModuleParallel``,
     reference ``models/modules.py:19``) but keep per-stream BatchNorms
     (``BatchNorm2dParallel :28``).
-  * ResNet Bottleneck stages exchange channels between the two streams after
-    bn2: stream 0 keeps channels whose own |bn γ| ≥ threshold and takes
-    stream 1's channels where |γ| < threshold, and vice versa
-    (``Exchange :5``; applied at ``CEN.py:176-177``).
+  * ResNet Bottleneck stages exchange channels between streams after bn2:
+    each stream keeps channels whose own |bn γ| ≥ threshold and takes the
+    rest from the next stream in a ring (``Exchange :5`` hard-codes the
+    2-stream mutual swap; the ring is identical at S=2 and extends it to
+    the 3-view config — applied at ``CEN.py:176-177``).
   * RefineNet-LightWeight decoder: per-level 3×3 dim-reduction convs, RCU
     chains (relu→conv twice + residual, ``RCUBlock :89``), CRP chains
     (5×5 maxpool→conv accumulation, ``CRPBlock :67``), top-down bilinear
@@ -93,13 +94,16 @@ class StreamBN(nn.Module):
 
 def _exchange(x: jnp.ndarray, scales: jnp.ndarray,
               threshold: float) -> jnp.ndarray:
-    """Channel exchange between 2 streams (reference modules.py:5-16).
+    """Channel exchange between S streams (reference modules.py:5-16).
 
-    x: (2, B, H, W, C); scales: (2, C) stacked BN γ. Stream i keeps its own
-    channel c when |γ_i[c]| ≥ t, else takes the OTHER stream's channel c.
+    x: (S, B, H, W, C); scales: (S, C) stacked BN γ. Stream i keeps its own
+    channel c when |γ_i[c]| ≥ t, else takes it from the NEXT stream in a
+    ring ((i+1) % S). The reference hard-codes S=2 (mutual swap); the ring
+    is its exact behavior at S=2 and the natural extension beyond (the
+    3-view CLI config feeds S=3 — exchange must not silently vanish there).
     """
     keep = (jnp.abs(scales) >= threshold)[:, None, None, None, :]
-    other = x[::-1]
+    other = jnp.roll(x, -1, axis=0)
     return jnp.where(keep, x, other)
 
 
@@ -119,7 +123,7 @@ class CENBottleneck(nn.Module):
         y = nn.relu(y)
         y = SharedConv(self.planes, 3, strides=self.strides, name="conv2")(y)
         y, scales = StreamBN(name="bn2")(y, train, return_scale=True)
-        if x.shape[0] == 2:
+        if x.shape[0] > 1:  # single-stream: exchange is the identity
             y = _exchange(y, scales, self.bn_threshold)
         y = nn.relu(y)
         y = SharedConv(out_ch, 1, name="conv3")(y)

@@ -53,13 +53,15 @@ class R2Plus1DBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # ONE midplanes from (inplanes, planes), reused by BOTH convs —
+        # reference rnet2dp1.py:89-99 (and torchvision) compute it once,
+        # so conv2's bottleneck width follows the block's INPUT channels
         mid = _midplanes(x.shape[-1], self.planes)
         residual = x
         y = Conv2Plus1D(self.planes, mid, self.strides, name="conv1")(x, train)
         y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
         y = nn.relu(y)
-        y = Conv2Plus1D(self.planes, _midplanes(self.planes, self.planes),
-                        name="conv2")(y, train)
+        y = Conv2Plus1D(self.planes, mid, name="conv2")(y, train)
         y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
         if self.strides != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1),

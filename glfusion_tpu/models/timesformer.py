@@ -79,12 +79,14 @@ def axial_rotary(h: int, w: int, dim_head: int, max_freq: float = 10.0):
 class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
+    dropout: float = 0.0  # after GEGLU, before fc2 (reference :120-127)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         y = nn.Dense(self.dim * self.mult * 2, name="fc1")(x)
         y, gates = jnp.split(y, 2, axis=-1)
         y = y * nn.gelu(gates)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
         return nn.Dense(self.dim, name="fc2")(y)
 
 
@@ -94,9 +96,11 @@ class DividedAttention(nn.Module):
     dim: int
     heads: int = 8
     dim_head: int = 64
+    dropout: float = 0.0  # on the output projection (reference :170-172)
 
     @nn.compact
-    def __call__(self, x, fold_from: str, fold_to: str, rot, **dims):
+    def __call__(self, x, fold_from: str, fold_to: str, rot,
+                 train: bool = False, **dims):
         h = self.heads
         inner = self.heads * self.dim_head
         qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
@@ -129,7 +133,8 @@ class DividedAttention(nn.Module):
         out = rearrange(out, f"{fold_to} -> {fold_from}", **dims)
         out = jnp.concatenate([cls_out, out], axis=2)
         out = rearrange(out, "(b h) v n d -> b v n (h d)", h=h)
-        return nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
 class TimeSformer(nn.Module):
@@ -141,6 +146,10 @@ class TimeSformer(nn.Module):
     depth: int = 12
     heads: int = 4
     dim_head: int = 48
+    # the reference class defaults both to 0; its mPAP smoke config
+    # (:337-338) sets 0.1 — exposed so the recipe is reproducible
+    attn_dropout: float = 0.0
+    ff_dropout: float = 0.0
 
     @nn.compact
     def __call__(self, video, train: bool = False):
@@ -165,16 +174,19 @@ class TimeSformer(nn.Module):
         for i in range(self.depth):
             y = nn.LayerNorm(name=f"l{i}_time_norm")(x)
             x = DividedAttention(self.dim, self.heads, self.dim_head,
+                                 self.attn_dropout,
                                  name=f"l{i}_time_attn")(
                 y, "b v (f n) d", "(b n) (v f) d",
-                time_rot, n=n, f=f, v=v) + x
+                time_rot, train=train, n=n, f=f, v=v) + x
             y = nn.LayerNorm(name=f"l{i}_space_norm")(x)
             x = DividedAttention(self.dim, self.heads, self.dim_head,
+                                 self.attn_dropout,
                                  name=f"l{i}_space_attn")(
                 y, "b v (f n) d", "(b f) (v n) d",
-                space_rot, n=n, f=f, v=v) + x
+                space_rot, train=train, n=n, f=f, v=v) + x
             y = nn.LayerNorm(name=f"l{i}_ff_norm")(x)
-            x = GEGLUFeedForward(self.dim, name=f"l{i}_ff")(y) + x
+            x = GEGLUFeedForward(self.dim, dropout=self.ff_dropout,
+                                 name=f"l{i}_ff")(y, train=train) + x
 
         cls_out = x[:, :, 0].reshape(b, -1)  # concat V cls tokens
         cls_out = nn.LayerNorm(name="out_norm")(cls_out)

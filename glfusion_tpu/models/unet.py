@@ -37,7 +37,6 @@ def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor ×2 (torch nn.Upsample default mode)."""
-    b, h, w, c = x.shape
     x = jnp.repeat(x, 2, axis=1)
     return jnp.repeat(x, 2, axis=2)
 

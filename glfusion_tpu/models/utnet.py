@@ -14,8 +14,10 @@ Behavior contract (reference ``models/utnet.py:11-103`` + blocks in
   * Decoder: cross-attention up blocks (``up_block_trans :414``) where the
     high-res map queries the low-res one, plus residual ×2-bilinear conv_ch
     path, skip concat, pre-act ResBlock. Non-transformer stages use plain
-    ``up_block`` (``unet_utils.py:280``).
-  * Optional aux heads (out1..3) return multi-scale logits.
+    ``up_block`` (``unet_utils.py:280``). Up blocks are keyed on the SKIP
+    level (up1 iff '3' in block_list, …, up4 iff '0').
+  * The reference's optional aux heads (out1..3, gated by ``aux_loss``) are
+    NOT ported — no caller in the reference enables them.
 
 UTNet_Encoderonly (``:105``) = transformer encoder + plain conv decoder,
 selected here with ``decoder_attn=False``.
@@ -273,10 +275,11 @@ class UTNet(nn.Module):
         base = self.base
         widths = [base, 2 * base, 4 * base, 8 * base, 16 * base]
 
-        # inc: conv3×3 + BasicBlock (+ optional trans for '0')
-        h1 = nn.Conv(base, (3, 3), padding=((1, 1), (1, 1)), use_bias=False,
-                     name="inc_conv")(x)
-        h1 = PreActBasicBlock(base, name="inc_block")(h1, train)
+        # inc: BasicBlock(in→base) + (trans | BasicBlock) — the FIRST
+        # pre-act block sees the raw input (its bn1 normalizes the input
+        # channels and the 1×1 shortcut projects them), utnet.py:17-25;
+        # there is no extra plain conv in front
+        h1 = PreActBasicBlock(base, name="inc_block")(x, train)
         if "0" in self.block_list:
             h1 = BasicTransBlock(self.heads[0], self.reduce_size,
                                  self.rel_pos, name="inc_trans")(h1, train)
@@ -301,7 +304,12 @@ class UTNet(nn.Module):
         out = feats[4]
         for s in range(4, 0, -1):
             skip = feats[s - 1]
-            trans, _, heads = self._stage_cfg(s)
+            # the up block is keyed on the SKIP level's trans-ness —
+            # up1 iff '3', up2 iff '2', up3 iff '1', up4 iff '0'
+            # (utnet.py:17-49) — while its heads come from stage s's
+            # num_heads slot (up1 = num_heads[-1], ...)
+            trans = str(s - 1) in self.block_list
+            _, _, heads = self._stage_cfg(s)
             if self.decoder_attn and trans:
                 out = TransDecoderBlock(
                     widths[s - 1], heads, self.reduce_size, self.rel_pos,

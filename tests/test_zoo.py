@@ -37,6 +37,40 @@ def test_cen_exchange_semantics():
     assert float(y[1, 0, 0, 0, 1]) == float(x[1, 0, 0, 0, 1])
 
 
+def test_cen_exchange_three_streams_ring():
+    """The reference Exchange hard-codes 2 streams; the 3-view CLI config
+    feeds 3, where exchange must still happen (ring: stream i takes its
+    low-|γ| channels from stream (i+1) % S) — regression: it was silently
+    skipped for any S != 2."""
+    from glfusion_tpu.models.cen import _exchange
+
+    x = jnp.asarray(np.arange(3 * 1 * 1 * 1 * 2).reshape(3, 1, 1, 1, 2),
+                    jnp.float32)
+    scales = jnp.asarray([[1.0, 0.001], [1.0, 0.001], [1.0, 0.001]])
+    y = _exchange(x, scales, 2e-2)
+    for i in range(3):
+        assert float(y[i, 0, 0, 0, 0]) == float(x[i, 0, 0, 0, 0])  # kept
+        assert (float(y[i, 0, 0, 0, 1])
+                == float(x[(i + 1) % 3, 0, 0, 0, 1]))              # ring
+
+
+def test_utnet_decoder_keying_matches_reference():
+    """block_list='234' builds trans up blocks ONLY where the SKIP level is
+    in the list: up at s=4 (skip '3') and s=3 (skip '2') — NOT s=2 (skip
+    '1'); reference utnet.py:17-49. Also: no extra conv in front of the
+    first pre-act block (its bn1 sees the raw input)."""
+    from glfusion_tpu.models import UTNet
+
+    m = UTNet(num_classes=5, base=4, reduce_size=4)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 1)), False)
+    p = v["params"]
+    assert "up4_attn" in p and "up3_attn" in p
+    assert "up2_attn" not in p and "up1_attn" not in p
+    assert "inc_conv" not in p
+    # inc_block's bn1 normalizes the RAW 1-ch input
+    assert p["inc_block"]["bn1"]["scale"].shape == (1,)
+
+
 def test_cen_refinenet_forward():
     from glfusion_tpu.models import CENRefineNet
 
@@ -82,6 +116,23 @@ def test_resnet50pfs_two_modality():
     out, seg = m.apply(v, x, False)
     assert out.shape == (1, 3)
     assert seg.shape[0] == 2  # modalities folded into batch
+
+
+def test_r2plus1d_midplanes_shared_across_both_convs():
+    """Reference (rnet2dp1.py:89-99, torchvision): midplanes is computed
+    ONCE from (inplanes, planes) and reused by conv2 — e.g. layer2 b0
+    (64→128) gives (64·128·27)//(64·9+3·128) = 230 for BOTH convs, not 288
+    recomputed from (128, 128)."""
+    import jax
+    import jax.numpy as jnp
+
+    from glfusion_tpu.models.r2plus1d import R2Plus1DBlock
+
+    m = R2Plus1DBlock(planes=128, strides=2)
+    v = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 8, 8, 64)), False)
+    p = v["params"]
+    assert p["conv1"]["spatial"]["kernel"].shape[-1] == 230
+    assert p["conv2"]["spatial"]["kernel"].shape[-1] == 230
 
 
 def test_r2plus1d_iekd_returns_feature():
