@@ -31,8 +31,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data-root", default=None,
                    help="dataset root containing infos/, data_list/, .nii.gz;"
                         " omit to run on synthetic data")
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--epochs", type=int, default=100)
+    # None sentinels: "explicitly passed" must be distinguishable from
+    # "left at default", or --tiny would override a user's explicit value
+    # that happens to equal the full-size default (e.g. --tiny --epochs 100)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="default 8 (reference main.py:914); --tiny has its "
+                        "own miniature default")
+    p.add_argument("--epochs", type=int, default=None,
+                   help="default 100 (reference main.py:916)")
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--weight-decay", type=float, default=1e-5)
     p.add_argument("--views", default="1,3,4",
@@ -60,7 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'temporal' = Global_and_Local_Temporal intent "
                         "(reference ours.py:1846): cycle clips run video "
                         "attention over T·V·h·w tokens")
-    p.add_argument("--clip-length", type=int, default=40)
+    p.add_argument("--clip-length", type=int, default=None,
+                   help="default 40 (reference main.py:917)")
     p.add_argument("--no-cycle", action="store_true",
                    help="disable the temporal cycle-consistency loss")
     p.add_argument("--dense-cyc", action="store_true",
@@ -152,8 +159,8 @@ def config_from_args(args: argparse.Namespace) -> Config:
             f"error: --views contains unknown view id(s) {bad}; "
             f"valid ids are {list(ALL_VIEWS)}")
     # --tiny supplies small defaults but explicit flags still win
-    defaults = build_parser()
-    explicit = lambda name, val: val != defaults.get_default(name)  # noqa: E731
+    # None = not passed → keep cfg's default (tiny_config's miniature value
+    # under --tiny, the reference literal otherwise)
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
@@ -164,20 +171,17 @@ def config_from_args(args: argparse.Namespace) -> Config:
         data=dataclasses.replace(cfg.data, root=args.data_root,
                                  clip_length=(
                                      args.clip_length
-                                     if not args.tiny
-                                     or explicit("clip_length",
-                                                 args.clip_length)
+                                     if args.clip_length is not None
                                      else cfg.data.clip_length)),
         opt=dataclasses.replace(cfg.opt, lr=args.lr,
                                 weight_decay=args.weight_decay),
         train=dataclasses.replace(
             cfg.train,
             batch_size=(args.batch_size
-                        if not args.tiny
-                        or explicit("batch_size", args.batch_size)
+                        if args.batch_size is not None
                         else cfg.train.batch_size),
             num_epochs=(args.epochs
-                        if not args.tiny or explicit("epochs", args.epochs)
+                        if args.epochs is not None
                         else cfg.train.num_epochs),
             use_cycle=not args.no_cycle,
             dense_cyc=args.dense_cyc,

@@ -40,6 +40,50 @@ def _resize_nearest_np(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return x[hi][:, wi]
 
 
+_MISS = object()
+
+
+class _ByteLRU:
+    """Byte-bounded LRU of numpy entries (None values cost 0 bytes).
+
+    The clip loaders cached decoded volumes in plain unbounded dicts —
+    fine for the 178-patient corpus, a host-OOM hazard beyond it; this
+    gives them the same bounded policy as SegFrameLoader's batch cache.
+    """
+
+    def __init__(self, max_bytes: int):
+        import collections
+        self._d: "collections.OrderedDict" = collections.OrderedDict()
+        self._max = max_bytes
+        self._used = 0
+
+    @staticmethod
+    def _nbytes(v) -> int:
+        if v is None:
+            return 0
+        if isinstance(v, tuple):
+            return sum(a.nbytes for a in v if a is not None)
+        if isinstance(v, dict):
+            return sum(a.nbytes for a in v.values()
+                       if hasattr(a, "nbytes"))
+        return v.nbytes
+
+    def get(self, key, default=_MISS):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return default
+
+    def put(self, key, value) -> None:
+        if key in self._d:
+            self._used -= self._nbytes(self._d.pop(key))
+        self._d[key] = value
+        self._used += self._nbytes(value)
+        while self._used > self._max and len(self._d) > 1:
+            _, old = self._d.popitem(last=False)
+            self._used -= self._nbytes(old)
+
+
 def labeled_frames(lab: np.ndarray) -> np.ndarray:
     """Indices of labeled frames in an (H, W, T) raw label volume.
 
@@ -273,33 +317,36 @@ class AlignedClipLoader:
     """
 
     def __init__(self, index: PatientIndex, ids: Sequence[str],
-                 views: Sequence[str], cfg: Config, seed: int = 0):
+                 views: Sequence[str], cfg: Config, seed: int = 0,
+                 cache_bytes: int = 4 << 30):
         self.index = index
         self.ids = [i for i in ids if i in index.records]
         self.views = tuple(views)
         self.cfg = cfg
         self.seed = seed
-        self._cache: Dict[tuple, np.ndarray] = {}
+        self._cache = _ByteLRU(cache_bytes)
 
     def __len__(self) -> int:
         return len(self.ids)
 
     def _load_clip(self, pid: str, view: str) -> np.ndarray | None:
         key = (pid, view)
-        if key not in self._cache:
-            img_p, _ = self.index.view_paths(pid, view)
-            if img_p is None:
-                self._cache[key] = None
-            else:
-                vol = np.asarray(read_nifti(img_p))
-                if vol.ndim == 4:  # (H, W, T, 1)
-                    vol = vol.squeeze(-1)
-                t = self.cfg.data.clip_length
-                while vol.shape[-1] < t:
-                    vol = np.concatenate([vol, vol], axis=-1)
-                vol = vol[..., :t]
-                self._cache[key] = vol.astype(np.float32)
-        return self._cache[key]
+        hit = self._cache.get(key)
+        if hit is not _MISS:
+            return hit
+        img_p, _ = self.index.view_paths(pid, view)
+        if img_p is None:
+            entry = None
+        else:
+            vol = np.asarray(read_nifti(img_p))
+            if vol.ndim == 4:  # (H, W, T, 1)
+                vol = vol.squeeze(-1)
+            t = self.cfg.data.clip_length
+            while vol.shape[-1] < t:
+                vol = np.concatenate([vol, vol], axis=-1)
+            entry = vol[..., :t].astype(np.float32)
+        self._cache.put(key, entry)
+        return entry
 
     def clips(self, epoch: int = 0) -> Iterator[np.ndarray]:
         rs = np.random.RandomState(self.seed + epoch)
@@ -357,11 +404,17 @@ class TestClipLoader:
                 img = np.asarray(read_nifti(ip), np.float32) / 255.0
                 lab = np.asarray(read_nifti(lp), np.float32)
                 # img (1, H, W, T) → (T, H, W, 1); lab (5, H, W, T) → (T, H, W, 5)
-                t = min(self.clip_length, img.shape[-1])
-                imgs.append(np.transpose(img[..., :t], (3, 1, 2, 0)))
-                masks.append(np.transpose(lab[..., :t], (3, 1, 2, 0)))
+                imgs.append(np.transpose(img, (3, 1, 2, 0)))
+                masks.append(np.transpose(lab, (3, 1, 2, 0)))
             if all(i is None for i in imgs):
                 continue  # no requested view exists for this clip
+            # views may differ in frame count: the stacked (V, T, ...)
+            # layout needs one T, so trim every present view to the common
+            # minimum (≤ clip_length) — same rule as serve.decode_paths
+            t = min(min(self.clip_length, i.shape[0])
+                    for i in imgs if i is not None)
+            imgs = [None if i is None else i[:t] for i in imgs]
+            masks = [None if m is None else m[:t] for m in masks]
             i_shape = next(i.shape for i in imgs if i is not None)
             m_shape = next(m.shape for m in masks if m is not None)
             imgs = [np.zeros(i_shape, np.float32) if i is None else i
@@ -399,25 +452,28 @@ class RegressionClipLoader:
             and index.records[i].get(label_type) is not None
             and not np.isnan(index.records[i][label_type])
         ]
-        self._cache: Dict[tuple, np.ndarray] = {}
+        self._cache = _ByteLRU(4 << 30)
 
     def __len__(self) -> int:
         return len(self.ids)
 
     def _load(self, pid: str, view: str, t: int, r: int):
         key = (pid, view)
-        if key not in self._cache:
-            img_p, _ = self.index.view_paths(pid, view)
-            if img_p is None:
-                self._cache[key] = None
-            else:
-                vol = np.asarray(read_nifti(img_p), np.float32).squeeze()
-                # nearest resize H, W → r and T → t (MONAI Resized semantics)
-                hi = _nearest_indices_np(r, vol.shape[0])
-                wi = _nearest_indices_np(r, vol.shape[1])
-                ti = _nearest_indices_np(t, vol.shape[2])
-                self._cache[key] = vol[hi][:, wi][:, :, ti]
-        return self._cache[key]
+        hit = self._cache.get(key)
+        if hit is not _MISS:
+            return hit
+        img_p, _ = self.index.view_paths(pid, view)
+        if img_p is None:
+            entry = None
+        else:
+            vol = np.asarray(read_nifti(img_p), np.float32).squeeze()
+            # nearest resize H, W → r and T → t (MONAI Resized semantics)
+            hi = _nearest_indices_np(r, vol.shape[0])
+            wi = _nearest_indices_np(r, vol.shape[1])
+            ti = _nearest_indices_np(t, vol.shape[2])
+            entry = vol[hi][:, wi][:, :, ti]
+        self._cache.put(key, entry)
+        return entry
 
     def batches(self, batch_size: int, epoch: int = 0) -> Iterator[dict]:
         rs = np.random.RandomState(self.seed + epoch if self.is_train

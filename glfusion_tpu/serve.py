@@ -117,10 +117,12 @@ class ClipPipeline:
                     yield cid, np.asarray(dev)[:, :t_true]
                     continue
                 cid, images = decoded.popleft().result()
+                submit()
+                if images is None:
+                    continue  # no requested view present: skip the clip
                 images, t_true = self._pad_clip(np.asarray(images))
                 dev = self._fwd(self.variables, jnp.asarray(images))
                 inflight.append((cid, t_true, dev))
-                submit()
 
     # --------------------------------------------------------- conveniences
 
@@ -128,31 +130,39 @@ class ClipPipeline:
         """Decode one ``(clip_id, {view: image_path})`` to (cid, images).
 
         Reads each view with the from-scratch NIfTI reader (native C++
-        when built), /255-normalizes, and stacks views; missing views are
-        zero-filled (the reference pads with zeros, ``loader.py:268-282``).
+        when built), /255-normalizes, and stacks views at their NATIVE
+        spatial size (same rule as TestClipLoader — the eval protocol runs
+        raw sizes, no resize); views are trimmed to the common minimum
+        frame count (≤ clip_length). Missing views are zero-filled
+        (the reference pads with zeros, ``loader.py:268-282``); a clip
+        with NO requested view present returns ``(cid, None)`` and is
+        skipped by the pipeline, matching ``Trainer.infer``.
         """
         from glfusion_tpu.data.nifti import read_nifti
 
         views = tuple(self.cfg.model.views)
-        hw = self.cfg.data.crop_hw
         t_fix = self.cfg.data.clip_length
         cid, paths = item
-        imgs = np.zeros((len(views), t_fix, hw, hw, 1), np.float32)
-        t_true = t_fix
-        for vi, view in enumerate(views):
+        vols = []
+        for view in views:
             p = paths.get(view)
             if p is None:
+                vols.append(None)
                 continue
             vol = np.asarray(read_nifti(p), np.float32) / 255.0
             vol = vol.squeeze()  # (H, W, T)
-            t = min(t_fix, vol.shape[-1])
-            t_true = min(t_true, t)
-            imgs[vi, :t, ..., 0] = np.moveaxis(vol[..., :t], -1, 0)
-        # trim to the true frame count so _pad_clip records it and the
-        # yielded prediction is trimmed back (a short clip must not come
-        # out with predictions over its zero-padding frames; Trainer.infer
-        # writes T=min(clip_length, T_clip) — same contract)
-        return cid, imgs[:, :t_true]
+            vols.append(np.moveaxis(vol, -1, 0)[..., None])  # (T, H, W, 1)
+        if all(v is None for v in vols):
+            return cid, None
+        # trim to the true common frame count so _pad_clip records it and
+        # the yielded prediction is trimmed back (a short clip must not
+        # come out with predictions over its zero-padding frames)
+        t_true = min(min(t_fix, v.shape[0]) for v in vols if v is not None)
+        vols = [None if v is None else v[:t_true] for v in vols]
+        shape = next(v.shape for v in vols if v is not None)
+        vols = [np.zeros(shape, np.float32) if v is None else v
+                for v in vols]
+        return cid, np.stack(vols)
 
     def predict_one(self, images: np.ndarray) -> np.ndarray:
         """Serial single-clip prediction (no pipelining): uint8 masks."""

@@ -9,7 +9,6 @@ video dataset; eval unpacks the model's dict output.
 
 from __future__ import annotations
 
-import itertools
 import json
 import time
 from pathlib import Path
@@ -122,6 +121,11 @@ class Trainer:
 
         self.ckpt = CheckpointManager(cfg.train.save_dir,
                                       max_to_keep=cfg.train.ckpt_keep)
+        # decoded test clips are static across epochs: cache them so the
+        # per-epoch validations don't re-decode the same NIfTIs (~6k
+        # decodes over a default 100-epoch run otherwise)
+        from glfusion_tpu.data.pipeline import _ByteLRU
+        self._eval_clip_cache = _ByteLRU(1 << 30)
         self.epoch = 0
         log_dir = Path(cfg.train.log_dir)
         if self._lead:
@@ -187,9 +191,13 @@ class Trainer:
                     f"({epoch_metrics['epoch_time_s']:.1f}s)")
                 if cfg.train.log_histograms:
                     self._log_param_histograms(epoch)
-                if (epoch + 1) % cfg.train.eval_every_epochs == 0:
+                # <= 0 means "never" (and avoids a ZeroDivisionError after
+                # a full epoch of training)
+                if (cfg.train.eval_every_epochs > 0
+                        and (epoch + 1) % cfg.train.eval_every_epochs == 0):
                     self.validation_and_test()
-                if (epoch + 1) % cfg.train.save_every_epochs == 0:
+                if (cfg.train.save_every_epochs > 0
+                        and (epoch + 1) % cfg.train.save_every_epochs == 0):
                     self.ckpt.save(self.state, epoch)  # async; flushed below
         finally:
             self.train_loader.stop_warming()
@@ -206,13 +214,25 @@ class Trainer:
             # peek: records may exist yet yield zero clips (every requested
             # view missing) — cycling an empty stream would raise a bare
             # StopIteration at the first next(); train without the cycle
-            # loss instead. itertools.cycle retains yielded items anyway,
-            # so the chain costs no extra memory.
+            # loss instead. NOT itertools.cycle: it would retain every
+            # yielded clip (each a fresh (V,T,H,W) array, ~1 GB over the
+            # real corpus) on top of the loader's own byte-bounded cache —
+            # restart the generator on exhaustion instead.
             gen = self.cycle_loader.clips(epoch)
             first = next(gen, None)
             if first is not None:
-                cycle_iter = itertools.cycle(
-                    itertools.chain([first], gen))
+                def _restarting(g, head):
+                    yield head
+                    while True:
+                        clip = next(g, None)
+                        if clip is None:
+                            g = self.cycle_loader.clips(epoch)
+                            clip = next(g, None)
+                            if clip is None:
+                                return
+                        yield clip
+
+                cycle_iter = _restarting(gen, first)
         from glfusion_tpu.data.prefetch import prefetch
 
         # metrics accumulate ON DEVICE and transfer once per epoch: each
@@ -244,8 +264,9 @@ class Trainer:
         agg = jax.device_get(agg)  # ONE transfer for the whole epoch
         counts = {k: float(np.asarray(agg[k]).sum())
                   for k in ("tp", "fp", "fn", "tn")}
-        derived = overlap_metrics({k: jnp.float32(v)
-                                   for k, v in counts.items()})
+        # plain-python arithmetic: wrapping the fetched counts back into
+        # jnp would issue eager device dispatches per derived ratio
+        derived = overlap_metrics(counts)
         return {
             "loss": float(agg["loss"]) / steps,
             "seg_loss": float(agg["seg_loss"]) / steps,
@@ -304,7 +325,7 @@ class Trainer:
         report = {"loss": float(acc["loss"]) / batches, "frames": frames,
                   "views": {}}
         for vi, view in enumerate(cfg.model.views):
-            m = overlap_metrics({k: jnp.float32(acc["counts"][k][vi])
+            m = overlap_metrics({k: float(acc["counts"][k][vi])
                                  for k in acc["counts"]})
             report["views"][view] = {k: float(val) for k, val in m.items()}
             self._log(
@@ -320,16 +341,29 @@ class Trainer:
     def evaluate_clips(self, clip_ids, tag: str = "eval") -> dict:
         """Frames-as-batch clip evaluation (main.py:459-543)."""
         cfg = self.cfg
-        loader = TestClipLoader(self.test_infos, clip_ids, cfg.model.views,
-                                cfg.data.clip_length)
         v = cfg.model.num_views
         # accumulate on device; one transfer at the end (high-latency
         # transports make per-clip fetches the bottleneck)
+        from glfusion_tpu.data.pipeline import _MISS
         from glfusion_tpu.data.prefetch import prefetch
+
+        def cached_clips():
+            for cid in clip_ids:
+                if cid not in self.test_infos:
+                    continue
+                clip = self._eval_clip_cache.get(cid)
+                if clip is _MISS:
+                    loader = TestClipLoader(self.test_infos, [cid],
+                                            cfg.model.views,
+                                            cfg.data.clip_length)
+                    clip = next(loader.clips(), None)
+                    self._eval_clip_cache.put(cid, clip)
+                if clip is not None:
+                    yield clip
 
         acc = None
         nclips = 0
-        for clip in prefetch(loader.clips()):
+        for clip in prefetch(cached_clips()):
             batch = {"images": self._stage(clip["images"]),
                      "masks": self._stage(clip["masks"])}
             batch = shard_batch(batch, self.mesh, batch_axis=1)
@@ -354,9 +388,11 @@ class Trainer:
                            for k in acc["part_counts"]}
         report = {"loss": loss, "clips": nclips, "views": {}}
         for vi, view in enumerate(cfg.model.views):
-            m = overlap_metrics({k: jnp.float32(totals[k][vi])
-                                 for k in totals})
-            parts = overlap_metrics({k: jnp.asarray(part_totals[k][vi])
+            # numpy in, numpy out — overlap_metrics is operator-only, so
+            # host counts stay on host (no eager device round trips in the
+            # report path)
+            m = overlap_metrics({k: float(totals[k][vi]) for k in totals})
+            parts = overlap_metrics({k: np.asarray(part_totals[k][vi])
                                      for k in part_totals})
             report["views"][view] = {
                 **{k: float(val) for k, val in m.items()},

@@ -45,7 +45,11 @@ def get_local_rank() -> int:
 
 
 def get_master_ip() -> str:
-    """Coordinator address (reference utils/tools.py:41-46)."""
+    """Coordinator address (reference utils/tools.py:41-46, plus the
+    conventional ``MASTER_ADDR`` so non-Azure MPI launches can name their
+    coordinator)."""
+    if os.environ.get("MASTER_ADDR"):
+        return os.environ["MASTER_ADDR"]
     if os.environ.get("AZ_BATCH_MASTER_NODE") is not None:
         return os.environ["AZ_BATCH_MASTER_NODE"].split(":")[0]
     if os.environ.get("AZ_BATCHAI_MPI_MASTER_NODE") is not None:
@@ -65,10 +69,36 @@ def initialize_distributed(port: int = 23455) -> None:
     ws = _env_world_size()
     if ws is None or ws <= 1:
         return
+    # rank must come from the launcher env here: get_global_rank()'s
+    # jax.process_index() fallback would initialize the local backend
+    # BEFORE jax.distributed.initialize (see comment above) and return 0
+    # on every process
+    rank = None
+    for var in ("PMI_RANK", "OMPI_COMM_WORLD_RANK"):
+        if os.environ.get(var) is not None:
+            rank = int(os.environ[var] or 0)
+            break
+    if rank is None:
+        raise RuntimeError(
+            f"world size {ws} detected but no rank env var "
+            f"(PMI_RANK/OMPI_COMM_WORLD_RANK) is set — cannot join the "
+            f"distributed runtime")
+    master = get_master_ip()
+    if master == "127.0.0.1" and rank != 0:
+        # correct for single-HOST multi-process launches (the 2-process
+        # tests); on a multi-node launch this process would dial its own
+        # localhost and hang at rendezvous — say so before it does
+        import sys
+        print(
+            "[glfusion] distributed init: no coordinator address found "
+            "(MASTER_ADDR / Azure Batch vars unset) — assuming all "
+            f"{ws} processes share this host and dialing 127.0.0.1:{port}; "
+            "multi-NODE launches must set MASTER_ADDR",
+            file=sys.stderr, flush=True)
     jax.distributed.initialize(
-        coordinator_address=f"{get_master_ip()}:{port}",
+        coordinator_address=f"{master}:{port}",
         num_processes=ws,
-        process_id=get_global_rank(),
+        process_id=rank,
     )
     if jax.process_count() > 1:
         # Establish the cross-process collective plumbing NOW, while the
