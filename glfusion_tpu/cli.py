@@ -53,7 +53,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "family (legacy:<kind>); the reference can only "
                         "train Global_and_Local")
     p.add_argument("--reg-model", default="resnet50pah",
-                   choices=["resnet50pah", "r2plus1d", "timesformer"],
+                   choices=["resnet50pah", "r2plus1d", "timesformer",
+                            "resnet50pfs"],
                    help="regression architecture for --mode reg-*")
     p.add_argument("--label-type", default="mPAP", choices=["mPAP", "Vmax"],
                    help="regression target column (reference loader.py:140)")
@@ -223,6 +224,8 @@ def _run_regression(args, cfg, data_paths) -> int:
         "r2plus1d": dict(layers=(1, 1, 1, 1), widths=(8, 16, 32, 64)),
         "timesformer": dict(dim=32, depth=1, heads=2, dim_head=16,
                             patch_size=8),
+        "resnet50pfs": dict(main_depth=10, proj_depth=10,
+                            widths=(8, 16, 32, 64)),
     }
     overrides = tiny_kw[args.reg_model] if args.tiny else {}
     model, adapter = build_reg_model(args.reg_model, cfg.model.num_views,

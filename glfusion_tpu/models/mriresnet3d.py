@@ -131,14 +131,17 @@ class Resnet50PFS(nn.Module):
     n_outputs: int = 12
     main_depth: int = 101
     proj_depth: int = 18
+    widths: Sequence[int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, m = x.shape[0], x.shape[1]
         flat = x.reshape((b * m,) + x.shape[2:] + (1,))  # fold modalities
         seg = MRIResNet3D(depth=self.main_depth, num_seg_classes=1,
+                          widths=tuple(self.widths),
                           name="model")(flat, train)
         feats = MRIResNet3D(depth=self.proj_depth, pool_head=True,
+                            widths=tuple(self.widths),
                             name="conv_projection")(seg, train)  # (B·M, 512)
         feats = feats.reshape(b, m * feats.shape[-1])
         out = nn.Dense(self.n_outputs, name="fc_projection")(feats)

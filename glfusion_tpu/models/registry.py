@@ -231,7 +231,7 @@ def _views_axis(clips: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(clips, (1, 0, 4, 2, 3))
 
 
-REG_ARCHS = ("resnet50pah", "r2plus1d", "timesformer")
+REG_ARCHS = ("resnet50pah", "r2plus1d", "timesformer", "resnet50pfs")
 
 
 def build_reg_model(name: str, num_views: int,
@@ -246,5 +246,12 @@ def build_reg_model(name: str, num_views: int,
     if name == "timesformer":
         from glfusion_tpu.models.timesformer import TimeSformer
         return TimeSformer(num_classes=1, **overrides), _views_axis
+    if name == "resnet50pfs":
+        # Resnet50PFS (reference mriresnet3d.py:271): the 2-modality MRI
+        # regressor, adapted to echo by treating the V views as the
+        # modality axis — (B, V, T, H, W) single-channel volumes fold into
+        # batch exactly as the reference folds its modalities (:306-308)
+        from glfusion_tpu.models.mriresnet3d import Resnet50PFS
+        return Resnet50PFS(n_outputs=1, **overrides), _views_axis
     raise ValueError(f"unknown regression model {name!r}; "
                      f"choose from {REG_ARCHS}")

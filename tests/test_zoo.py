@@ -333,6 +333,10 @@ def test_registry_reg_models_forward():
         ("r2plus1d", dict(layers=(1, 1, 1, 1), widths=(4, 8, 8, 8))),
         ("timesformer", dict(dim=16, depth=1, heads=2, dim_head=8,
                              patch_size=8)),
+        # views act as the PFS regressor's modality axis
+        # (reference mriresnet3d.py:271,306-308)
+        ("resnet50pfs", dict(main_depth=10, proj_depth=10,
+                             widths=(4, 8, 8, 8))),
     ]:
         model, adapter = build_reg_model(name, 2, **kw)
         x = adapter(clips)
