@@ -243,6 +243,11 @@ def tiny_config(views: Sequence[str] = ("1", "3", "4")) -> Config:
         train=TrainConfig(
             batch_size=2,
             num_epochs=2,
+            # supervised views follow the model views (the full-size default
+            # keeps the reference's test_view = {'1','3','4'}, main.py:919;
+            # a narrowed tiny model must narrow the loss-bearing set too or
+            # make_train_step rejects the config)
+            test_views=tuple(views),
             cycle_target_region=4,
             cycle_offset=1,
             cycle_chunk=2,
