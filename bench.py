@@ -79,6 +79,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16",
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
               remat: bool = True, stem_pallas: bool = False,
+              sup_remat: "bool | None" = None,
               compiler_options: "dict | None | str" = "default"):
     """Seconds per full train step (reference recipe: batch 8 supervised
     multi-view frames + one 40-frame cycle clip per view, fused device
@@ -90,7 +91,12 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     remat=True is the recorded config: explicit per-block backbone
     rematerialization is bit-exact (same math recomputed) and measured
     FASTER than XLA's automatic HBM-pressure remat (the bf16 step sits at
-    ~14.7 of 15.75 GiB without it)."""
+    ~14.7 of 15.75 GiB without it).
+
+    sup_remat: per-pass remat override for the SUPERVISED forward (the
+    120-frame cycle pass keeps ``remat``). None → same as ``remat``;
+    False → the small supervised pass keeps its activations and skips the
+    backward recompute (bit-exact; tools/bench_pass_remat.py measures it)."""
     import dataclasses
 
     import numpy as np
@@ -136,8 +142,13 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         tx=make_optimizer(cfg, 100))
     # inner step without compile options (JAX rejects options on nested
     # jits); the shipped options are applied to the OUTER chained compile
+    sup_model = None
+    if sup_remat is not None and sup_remat != remat:
+        sup_model = GlobalAndLocal(
+            dataclasses.replace(cfg.model, remat=sup_remat,
+                                remat_stages=None))
     step = make_train_step(cfg, model, fuse_preprocess=True,
-                           compiler_options=None)
+                           compiler_options=None, sup_model=sup_model)
 
     def chained_fn(state, batch, rng):
         def body(carry, i):

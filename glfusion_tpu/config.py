@@ -143,6 +143,15 @@ class TrainConfig:
     # compared two graphs both silently dead-code-eliminated by an unsound
     # benchmark harness). glfusion arch only.
     cycle_light: bool = False
+    # Per-pass rematerialization: when model.remat is on, remat exists to
+    # fit the 120-frame cycle pass in HBM; the small supervised pass
+    # (batch·V frames) can keep its activations and skip the backward
+    # recompute. False → the supervised forward runs through a no-remat
+    # twin module sharing the same parameter tree (bit-exact — nn.remat
+    # recomputes identical math; tests/test_losses.py
+    # ::test_per_pass_remat_step_is_exact). Measured in BASELINE.md
+    # (tools/bench_pass_remat.py).
+    remat_supervised: bool = True
     # Global_and_Local_Temporal intent (reference models/ours.py:1846-1980;
     # its ``.shape(...)`` bug at :1962 means the video-attention path never
     # ran there): cycle-clip forwards fold the T frames into the attention

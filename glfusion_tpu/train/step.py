@@ -47,7 +47,8 @@ def _test_view_indices(cfg: Config) -> tuple:
 
 def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
                     cps: bool = False,
-                    compiler_options: "dict | None | str" = "default"):
+                    compiler_options: "dict | None | str" = "default",
+                    sup_model=None):
     """fuse_preprocess=True: the step takes RAW host batches (images_raw,
     masks_raw, clips) and runs the crop/normalize/remap preprocessing inside
     the same jit — ONE dispatch per step instead of several, which is what
@@ -65,7 +66,15 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
     (``config.TPU_COMPILER_OPTIONS``); pass ``None`` when the step will be
     wrapped in an OUTER jit (e.g. a chained-scan benchmark) — JAX rejects
     compiler options on nested jits — and apply them to the outer compile
-    instead."""
+    instead.
+
+    sup_model: optional module for the SUPERVISED forward only (the cycle
+    forward keeps ``model``). It must share ``model``'s parameter/batch_stats
+    tree — ``nn.remat`` preserves variable structure, so a no-remat twin of
+    a rematted model qualifies. Used for per-pass rematerialization: only
+    the 120-frame cycle pass needs activation recompute to fit HBM; the
+    small supervised pass (batch·V frames) can keep its activations and
+    skip the recompute (measured in BASELINE.md)."""
     if compiler_options == "default":
         compiler_options = default_compiler_options()
     views = tuple(cfg.model.views)
@@ -87,7 +96,7 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
             batch = dict(batch, **pre)
 
         def loss_fn(params):
-            out, upd = model.apply(
+            out, upd = (sup_model or model).apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["images"], True, mutable=["batch_stats"],
                 rngs={"dropout": rng_drop})

@@ -113,9 +113,17 @@ class Trainer:
             batch_stats=variables.get("batch_stats", {}),
             tx=make_optimizer(cfg, self.steps_per_epoch),
         )
+        sup_model = None
+        if cfg.model.remat and not cfg.train.remat_supervised:
+            import dataclasses as _dc
+            # no-remat twin for the supervised pass (same variable tree;
+            # see TrainConfig.remat_supervised)
+            sup_model, _ = build_seg_model(_dc.replace(
+                cfg.model, remat=False, remat_stages=None))
         self.train_step = make_train_step(cfg, self.model,
                                           fuse_preprocess=True,
-                                          cps=self._cps)
+                                          cps=self._cps,
+                                          sup_model=sup_model)
         self.eval_step = make_eval_step(cfg, self.model)
         self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
 

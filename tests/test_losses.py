@@ -381,3 +381,60 @@ def test_checkify_train_step_catches_nan_inputs():
          jax.random.PRNGKey(2))  # clean pending error throws as a no-op
     with pytest.raises(checkify.JaxRuntimeError, match="nan"):
         step.checkify_flush()
+
+
+def test_per_pass_remat_step_is_exact():
+    """``make_train_step(..., sup_model=no-remat twin)`` (per-pass remat:
+    only the cycle forward recomputes) must be EXACTLY the both-remat step:
+    ``nn.remat`` preserves the variable tree and recomputes the same math,
+    so losses and the updated state agree leaf-for-leaf."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, remat=True))
+    model = GlobalAndLocal(cfg.model)
+    sup_model = GlobalAndLocal(
+        dataclasses.replace(cfg.model, remat=False, remat_stages=None))
+    hw, t = cfg.data.crop_hw, cfg.data.clip_length
+    v = cfg.model.num_views
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "images": jax.random.uniform(rng, (v, 2, hw, hw, 1)),
+        "masks": (jax.random.uniform(jax.random.fold_in(rng, 1),
+                                     (v, 2, hw, hw, 5)) > 0.5
+                  ).astype(jnp.float32),
+        "clips": jax.random.uniform(jax.random.fold_in(rng, 2),
+                                    (v, t, hw, hw, 1)) * 255,
+    }
+    variables = model.init(rng, batch["images"], False)
+    # the twin consumes the rematted model's variables as-is
+    jax.eval_shape(lambda vs: sup_model.apply(vs, batch["images"], False),
+                   variables)
+    init = jax.device_get(variables)
+
+    def run(sm):
+        state = TrainState.create(
+            apply_fn=model.apply,
+            params=jax.tree_util.tree_map(jnp.asarray, init["params"]),
+            batch_stats=jax.tree_util.tree_map(
+                jnp.asarray, init.get("batch_stats", {})),
+            tx=make_optimizer(cfg, 10))
+        step = make_train_step(cfg, model, sup_model=sm)
+        state2, m = step(state, dict(batch), jax.random.PRNGKey(3))
+        return jax.device_get((state2.params, state2.batch_stats, m))
+
+    p_base, bs_base, m_base = run(None)
+    p_pp, bs_pp, m_pp = run(sup_model)
+    np.testing.assert_allclose(m_pp["loss"], m_base["loss"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves((p_base, bs_base)),
+                    jax.tree_util.tree_leaves((p_pp, bs_pp))):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
