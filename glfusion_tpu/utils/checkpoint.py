@@ -1,17 +1,204 @@
-"""Orbax checkpointing: params + batch stats + optimizer state + epoch.
+"""Checkpointing: params + batch stats + optimizer state + epoch.
 
 Replaces the reference's ``torch.save({'network': state_dict})`` +
 ``latest.ckpt`` text pointer (``main.py:857-872``) with atomic, async-capable
-Orbax checkpoints that also persist optimizer state (the reference dropped it
+checkpoints that also persist optimizer state (the reference dropped it
 — its resume was silently wrong; we keep it).
+
+Two interchangeable backends behind one ``CheckpointManager`` facade:
+
+* **orbax** — the default when importable. Chosen for its sharded-array
+  support and ecosystem compatibility.
+* **flax** — a self-contained fallback using ``flax.serialization``
+  msgpack + atomic directory renames. No dependency beyond flax/jax.
+  Same interface, same async-save semantics (device→host snapshot happens
+  synchronously inside ``save()`` so donated-buffer reuse by later train
+  steps cannot corrupt the data; serialization + disk write happen on a
+  background thread, serialized FIFO).
+
+Backend selection is SIGBUS-safe: ``import orbax`` is probed in a
+*subprocess* first, because a partially damaged install (e.g. unreadable
+pages in a bundled ``.so``) kills the importing process with an uncatchable
+signal rather than raising ImportError. Override with
+``GLFUSION_CKPT_BACKEND={orbax,flax,auto}``.
+
+The two formats are distinguishable on disk: flax checkpoints are
+``epoch_<n>/state.msgpack`` directories with a ``GLFUSION_FLAX_CKPT``
+marker file; orbax steps are bare-integer directories. ``restore`` of a
+directory written by the other backend raises with a clear message.
 """
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+import threading
 from pathlib import Path
 from typing import Optional, Tuple
 
-import orbax.checkpoint as ocp
+_ORBAX_OK: Optional[bool] = None
+
+
+def _orbax_available() -> bool:
+    """Probe ``import orbax.checkpoint`` in a subprocess (cached).
+
+    A direct in-process import of a damaged install can die with SIGBUS
+    (mmap'd .so pages backed by unreadable disk sectors) — uncatchable.
+    The subprocess absorbs the crash and reports via exit code.
+    """
+    global _ORBAX_OK
+    if _ORBAX_OK is None:
+        forced = os.environ.get("GLFUSION_CKPT_BACKEND", "auto").lower()
+        if forced == "orbax":
+            _ORBAX_OK = True
+        elif forced == "flax":
+            _ORBAX_OK = False
+        else:
+            try:
+                proc = subprocess.run(
+                    [sys.executable, "-c",
+                     "import orbax.checkpoint"],
+                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                    timeout=120,
+                    env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                )
+                _ORBAX_OK = proc.returncode == 0
+            except Exception:
+                _ORBAX_OK = False
+    return _ORBAX_OK
+
+
+_STATE_KEYS = ("params", "batch_stats", "opt_state", "step")
+_FLAX_MARKER = "GLFUSION_FLAX_CKPT"
+
+
+def _payload(state) -> dict:
+    return {k: getattr(state, k) for k in _STATE_KEYS}
+
+
+class _OrbaxBackend:
+    def __init__(self, directory: Path, max_to_keep: Optional[int]):
+        import orbax.checkpoint as ocp
+        self._ocp = ocp
+        self._mgr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                                 create=True),
+        )
+
+    def save(self, payload: dict, epoch: int) -> None:
+        self._mgr.save(epoch, args=self._ocp.args.StandardSave(payload))
+
+    def wait(self) -> None:
+        self._mgr.wait_until_finished()
+
+    def all_steps(self) -> list:
+        self._mgr.wait_until_finished()
+        return sorted(int(s) for s in self._mgr.all_steps())
+
+    def restore(self, template: dict, step: int) -> Optional[dict]:
+        self._mgr.wait_until_finished()
+        if step not in set(self._mgr.all_steps()):
+            return None
+        return self._mgr.restore(
+            step, args=self._ocp.args.StandardRestore(template))
+
+
+class _FlaxBackend:
+    """Msgpack checkpoints with atomic renames and a FIFO writer thread.
+
+    Layout: ``<dir>/epoch_<n>/state.msgpack`` (+ a marker file). A save
+    first materializes device arrays on host (inside ``save()``, before
+    returning — donation safety), then hands the host pytree to a single
+    background thread that serializes and writes to ``.tmp_epoch_<n>``
+    and atomically renames. Readers only ever see complete checkpoints.
+    """
+
+    def __init__(self, directory: Path, max_to_keep: Optional[int]):
+        self.directory = directory
+        self.directory.mkdir(parents=True, exist_ok=True)
+        (self.directory / _FLAX_MARKER).touch()
+        self._max_to_keep = max_to_keep
+        self._lock = threading.Lock()
+        self._pending: list = []
+
+    def _write(self, host_payload: dict, epoch: int) -> None:
+        from flax import serialization
+        data = serialization.to_bytes(host_payload)
+        tmp = self.directory / f".tmp_epoch_{epoch:05d}"
+        final = self.directory / f"epoch_{epoch:05d}"
+        tmp.mkdir(exist_ok=True)
+        (tmp / "state.msgpack").write_bytes(data)
+        if final.exists():
+            import shutil
+            shutil.rmtree(final)
+        tmp.rename(final)
+        if self._max_to_keep is not None:
+            steps = self._scan_steps()
+            for old in steps[:-self._max_to_keep]:
+                import shutil
+                shutil.rmtree(self.directory / f"epoch_{old:05d}",
+                              ignore_errors=True)
+
+    def save(self, payload: dict, epoch: int) -> None:
+        import jax
+        host = jax.device_get(payload)  # snapshot BEFORE buffers are reused
+        t = threading.Thread(target=self._serialized_write,
+                             args=(host, epoch), daemon=True)
+        with self._lock:
+            self._pending.append(t)
+        t.start()
+
+    def _serialized_write(self, host, epoch):
+        # FIFO: wait for every thread queued before me.
+        with self._lock:
+            idx = self._pending.index(threading.current_thread())
+            earlier = self._pending[:idx]
+        for t in earlier:
+            t.join()
+        try:
+            self._write(host, epoch)
+        finally:
+            with self._lock:
+                self._pending.remove(threading.current_thread())
+
+    def wait(self) -> None:
+        while True:
+            with self._lock:
+                pending = list(self._pending)
+            if not pending:
+                return
+            for t in pending:
+                t.join()
+
+    def _scan_steps(self) -> list:
+        steps = []
+        for p in self.directory.iterdir():
+            if p.is_dir() and p.name.startswith("epoch_"):
+                try:
+                    steps.append(int(p.name[len("epoch_"):]))
+                except ValueError:
+                    pass
+            elif p.is_dir() and p.name.isdigit():
+                raise RuntimeError(
+                    f"{self.directory} contains orbax-format checkpoints "
+                    f"({p.name}/) but the orbax backend is unavailable; "
+                    "set GLFUSION_CKPT_BACKEND=orbax on a healthy install "
+                    "or start a fresh checkpoint directory.")
+        return sorted(steps)
+
+    def all_steps(self) -> list:
+        self.wait()
+        return self._scan_steps()
+
+    def restore(self, template: dict, step: int) -> Optional[dict]:
+        self.wait()
+        path = self.directory / f"epoch_{step:05d}" / "state.msgpack"
+        if not path.exists():
+            return None
+        from flax import serialization
+        return serialization.from_bytes(template, path.read_bytes())
 
 
 class CheckpointManager:
@@ -23,55 +210,42 @@ class CheckpointManager:
         Pass an int (cfg.train.ckpt_keep / --ckpt-keep) to bound disk."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        self._mgr = ocp.CheckpointManager(
-            self.directory,
-            options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
-                                                 create=True),
-        )
+        # An existing flax-format dir stays flax even if orbax is healthy.
+        if (self.directory / _FLAX_MARKER).exists() or not _orbax_available():
+            self.backend = "flax"
+            self._impl = _FlaxBackend(self.directory, max_to_keep)
+        else:
+            self.backend = "orbax"
+            self._impl = _OrbaxBackend(self.directory, max_to_keep)
 
     def save(self, state, epoch: int, wait: bool = False) -> None:
         """Checkpoint the full train state at ``epoch``.
 
-        Async by default: Orbax snapshots device arrays to host inside
+        Async by default: device arrays are snapshotted to host inside
         ``save()`` (so later donated-buffer reuse by train steps cannot
-        corrupt the data) and serializes/writes in the background —
+        corrupt the data) and serialized/written in the background —
         training continues while the previous checkpoint hits disk.
-        Overlapping saves are serialized by Orbax. ``wait=True`` (or
-        ``wait()``) blocks until everything is durable; every read path
-        below waits first.
+        Overlapping saves are serialized. ``wait=True`` (or ``wait()``)
+        blocks until everything is durable; every read path below waits
+        first.
         """
-        payload = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        self._mgr.save(epoch, args=ocp.args.StandardSave(payload))
+        self._impl.save(_payload(state), epoch)
         if wait:
-            self._mgr.wait_until_finished()
+            self._impl.wait()
 
     def wait(self) -> None:
         """Block until all in-flight async saves are durable on disk."""
-        self._mgr.wait_until_finished()
+        self._impl.wait()
 
     def all_steps(self) -> list:
         """Sorted saved epochs (the sweep-eval substrate, main.py:316-323)."""
-        self._mgr.wait_until_finished()
-        return sorted(int(s) for s in self._mgr.all_steps())
+        return self._impl.all_steps()
 
     def restore_step(self, state, step: int):
         """Restore one specific epoch's state (or None)."""
-        self._mgr.wait_until_finished()
-        if step not in set(self._mgr.all_steps()):
+        restored = self._impl.restore(_payload(state), step)
+        if restored is None:
             return None
-        template = {
-            "params": state.params,
-            "batch_stats": state.batch_stats,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template))
         return state.replace(
             params=restored["params"],
             batch_stats=restored["batch_stats"],
@@ -80,9 +254,9 @@ class CheckpointManager:
         )
 
     def restore_latest(self, state) -> Optional[Tuple[object, int]]:
-        self._mgr.wait_until_finished()
-        step = self._mgr.latest_step()
-        if step is None:
+        steps = self._impl.all_steps()
+        if not steps:
             return None
+        step = steps[-1]
         new_state = self.restore_step(state, step)
         return new_state, int(step) + 1

@@ -46,6 +46,35 @@ def colorize(cls_map: np.ndarray) -> np.ndarray:
     return COLOR_TABLE[np.asarray(cls_map)]
 
 
+def write_png(path: str | Path, rgba: np.ndarray) -> None:
+    """Write an (H, W, 4) uint8 RGBA array as a PNG — stdlib only.
+
+    From-scratch PNG-1.2 encoder (signature + IHDR/IDAT/IEND, filter 0,
+    zlib stream). Replaces the reference's matplotlib ``plt.imsave``
+    (``main.py:641-645``): the only thing it used matplotlib for was
+    PNG encoding, and a 20-line encoder removes a heavyweight optional
+    dependency from the serving/visualization path.
+    """
+    import struct
+    import zlib
+
+    arr = np.ascontiguousarray(np.asarray(rgba, dtype=np.uint8))
+    if arr.ndim != 3 or arr.shape[2] != 4:
+        raise ValueError(f"expected (H, W, 4) RGBA uint8, got {arr.shape}")
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        body = tag + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)  # 8-bit RGBA
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    Path(path).write_bytes(png)
+
+
 def save_clip_visualization(out_dir: str | Path, method_name: str,
                             patient_id: str, view: str,
                             logits: np.ndarray) -> int:
@@ -54,14 +83,10 @@ def save_clip_visualization(out_dir: str | Path, method_name: str,
     Directory layout matches the reference
     (``./visualze_for_ppt/<method>/192_data/<patient>/<view>/``).
     """
-    import matplotlib
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
     cmap = np.asarray(class_map(jnp.asarray(logits)))
     rgba = colorize(cmap)  # (T, H, W, 4)
     d = Path(out_dir) / method_name / "192_data" / str(patient_id) / str(view)
     d.mkdir(parents=True, exist_ok=True)
     for t in range(rgba.shape[0]):
-        plt.imsave(d / f"pred_{t}.png", rgba[t])
+        write_png(d / f"pred_{t}.png", rgba[t])
     return rgba.shape[0]

@@ -1,0 +1,119 @@
+"""CheckpointManager backends: flax-msgpack fallback + orbax (when healthy).
+
+The facade replaces the reference's ``torch.save``/``latest.ckpt`` flow
+(``main.py:857-872``); these tests pin the contract both backends share:
+async saves become durable after ``wait()``, epochs restore exactly,
+retention bounds disk, and a format mismatch fails loudly.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import optax
+import pytest
+
+import glfusion_tpu.utils.checkpoint as ckpt_mod
+from glfusion_tpu.utils.checkpoint import CheckpointManager
+from glfusion_tpu.train.train_state import TrainState
+
+
+def _state(val: float) -> TrainState:
+    params = {"w": jnp.full((4, 4), val), "b": jnp.zeros(4)}
+    return TrainState.create(
+        apply_fn=lambda *a: None, params=params, tx=optax.adam(1e-3),
+        batch_stats={"mean": jnp.full(4, 2.0 * val)})
+
+
+@pytest.fixture
+def flax_backend(monkeypatch):
+    monkeypatch.setenv("GLFUSION_CKPT_BACKEND", "flax")
+    monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
+    yield
+    monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
+
+
+def test_flax_roundtrip_and_latest(tmp_path, flax_backend):
+    cm = CheckpointManager(str(tmp_path / "ck"))
+    assert cm.backend == "flax"
+    cm.save(_state(1.0), 0)
+    cm.save(_state(7.0), 5)
+    cm.wait()
+    assert cm.all_steps() == [0, 5]
+
+    restored, next_epoch = cm.restore_latest(_state(0.0))
+    assert next_epoch == 6
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 7.0)
+    np.testing.assert_allclose(np.asarray(restored.batch_stats["mean"]), 14.0)
+    # optimizer state restores as the same pytree structure
+    assert jnp.asarray(restored.opt_state[0].count).shape == ()
+
+    r0 = cm.restore_step(_state(0.0), 0)
+    np.testing.assert_allclose(np.asarray(r0.params["w"]), 1.0)
+    assert cm.restore_step(_state(0.0), 99) is None
+
+
+def test_flax_empty_dir_restores_none(tmp_path, flax_backend):
+    cm = CheckpointManager(str(tmp_path / "empty"))
+    assert cm.restore_latest(_state(0.0)) is None
+    assert cm.all_steps() == []
+
+
+def test_flax_async_fifo_many_saves(tmp_path, flax_backend):
+    """Rapid overlapping async saves all land; the newest epoch wins
+    restore_latest (FIFO writer — no lost or interleaved checkpoints)."""
+    cm = CheckpointManager(str(tmp_path / "fifo"))
+    for e in range(6):
+        cm.save(_state(float(e)), e)
+    cm.wait()
+    assert cm.all_steps() == list(range(6))
+    restored, nxt = cm.restore_latest(_state(0.0))
+    assert nxt == 6
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 5.0)
+
+
+def test_flax_max_to_keep(tmp_path, flax_backend):
+    cm = CheckpointManager(str(tmp_path / "keep"), max_to_keep=2)
+    for e in range(5):
+        cm.save(_state(float(e)), e, wait=True)
+    assert cm.all_steps() == [3, 4]
+
+
+def test_flax_resave_same_epoch_overwrites(tmp_path, flax_backend):
+    cm = CheckpointManager(str(tmp_path / "re"))
+    cm.save(_state(1.0), 3, wait=True)
+    cm.save(_state(9.0), 3, wait=True)
+    assert cm.all_steps() == [3]
+    r = cm.restore_step(_state(0.0), 3)
+    np.testing.assert_allclose(np.asarray(r.params["w"]), 9.0)
+
+
+def test_flax_rejects_orbax_format_dir(tmp_path, flax_backend):
+    d = tmp_path / "orbax_like"
+    (d / "42").mkdir(parents=True)
+    cm = CheckpointManager(str(d))
+    with pytest.raises(RuntimeError, match="orbax-format"):
+        cm.all_steps()
+
+
+def test_existing_flax_dir_stays_flax(tmp_path, flax_backend, monkeypatch):
+    """A directory written by the flax backend is reopened as flax even if
+    a later process has a healthy orbax — format follows the data."""
+    cm = CheckpointManager(str(tmp_path / "sticky"))
+    cm.save(_state(4.0), 1, wait=True)
+    # now pretend orbax is importable
+    monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", True)
+    cm2 = CheckpointManager(str(tmp_path / "sticky"))
+    assert cm2.backend == "flax"
+    r, nxt = cm2.restore_latest(_state(0.0))
+    assert nxt == 2
+    np.testing.assert_allclose(np.asarray(r.params["w"]), 4.0)
+
+
+def test_orbax_roundtrip_when_available(tmp_path):
+    if not ckpt_mod._orbax_available():
+        pytest.skip("orbax unavailable on this install")
+    cm = CheckpointManager(str(tmp_path / "ob"))
+    assert cm.backend == "orbax"
+    cm.save(_state(3.0), 2, wait=True)
+    r, nxt = cm.restore_latest(_state(0.0))
+    assert nxt == 3
+    np.testing.assert_allclose(np.asarray(r.params["w"]), 3.0)
