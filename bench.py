@@ -78,6 +78,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16",
 
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
+              fuse_passes: bool = False,
               remat: bool = True, stem_pallas: bool = False,
               sup_remat: "bool | None" = None,
               compiler_options: "dict | None | str" = "default"):
@@ -120,7 +121,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
                                   stem_pallas=stem_pallas),
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
         train=dataclasses.replace(cfg.train, batch_size=batch,
-                                  cycle_light=cycle_light))
+                                  cycle_light=cycle_light,
+                                  fuse_passes=fuse_passes))
     model = GlobalAndLocal(cfg.model)
     v = cfg.model.num_views
     r, c = cfg.data.resize_hw, cfg.data.crop_hw

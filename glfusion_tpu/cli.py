@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cycle forward computes only the cycle-loss "
                         "features (identical loss; skipped heads' BN stats "
                         "stop updating on cycle frames)")
+    p.add_argument("--fuse-passes", action="store_true",
+                   help="run the supervised batch and cycle clip through "
+                        "ONE merged backbone pass per step (cycle-light "
+                        "head semantics; merged-batch BN moments — see "
+                        "TrainConfig.fuse_passes)")
     p.add_argument("--save-dir", default="./result/ckpt")
     p.add_argument("--log-dir", default="./result/log_info/log_01")
     p.add_argument("--resume", action="store_true",
@@ -187,6 +192,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             use_cycle=not args.no_cycle,
             dense_cyc=args.dense_cyc,
             cycle_light=args.cycle_light,
+            fuse_passes=args.fuse_passes,
             temporal=temporal,
             save_dir=args.save_dir,
             log_dir=args.log_dir,

@@ -152,6 +152,16 @@ class TrainConfig:
     # ::test_per_pass_remat_step_is_exact). Measured in BASELINE.md
     # (tools/bench_pass_remat.py).
     remat_supervised: bool = True
+    # Fused supervised+cycle forward: concatenate the supervised batch and
+    # the cycle clip on the frame axis and run ONE backbone(+global
+    # attention) pass per step instead of two, slicing the classifier/
+    # centerness/local tail onto the supervised frames only (cycle_light
+    # head semantics are implied). Same FLOPs, merged-batch BN moments
+    # instead of the reference's two sequential stat updates (see
+    # GlobalAndLocal.__call__ sup_count). glfusion arch only; exclusive
+    # of CPS / temporal / remat_supervised=False. Measured in BASELINE.md
+    # (tools/bench_pass_fusion.py).
+    fuse_passes: bool = False
     # Global_and_Local_Temporal intent (reference models/ours.py:1846-1980;
     # its ``.shape(...)`` bug at :1962 means the video-attention path never
     # ran there): cycle-clip forwards fold the T frames into the attention

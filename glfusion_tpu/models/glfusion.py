@@ -84,7 +84,8 @@ class GlobalAndLocal(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False,
                  is_video: bool = False,
-                 features_only: bool = False) -> Dict[str, Any]:
+                 features_only: bool = False,
+                 sup_count: "int | None" = None) -> Dict[str, Any]:
         """x: (V, B, H, W, 1) stacked views → dict of stacked outputs.
 
         is_video: treat B as T frames of one clip and fold it into the
@@ -99,10 +100,39 @@ class GlobalAndLocal(nn.Module):
         difference from the reference is that the skipped heads' BN running
         stats don't update on cycle frames. Unsupported for the fg_bg
         variant (its global branch needs the head-derived atten map).
+
+        sup_count: fused supervised+cycle pass — x is the supervised batch
+        (first ``sup_count`` frames along axis 1) concatenated with the
+        cycle-clip frames. The backbone (and, where the variant's cycle
+        slot needs it, the global attention) runs ONCE over the whole
+        concatenation; the classifier/centerness/local tail runs only on
+        the supervised slice. Returned ``mask``/``mask_bb``/``f4_local``
+        cover the supervised frames; ``f4_global`` covers ONLY the cycle
+        frames (what the cycle loss pools). One backbone dispatch per
+        train step instead of two — the frames-as-batch convs see the
+        merged batch, amortizing per-pass fixed costs (cfg.train
+        .fuse_passes; measured in BASELINE.md). BN semantics: batch
+        moments are computed over the merged supervised+cycle batch
+        (the reference's two sequential calls update running stats
+        twice with per-pass moments); head BN sees supervised frames
+        only, exactly like cycle_light. Same variant restrictions as
+        features_only.
         """
         cfg = self.cfg
         v, b, hh, ww, _ = x.shape
         assert v == cfg.num_views, (v, cfg.num_views)
+        if sup_count is not None:
+            if features_only or is_video:
+                raise ValueError("sup_count is exclusive of features_only/"
+                                 "is_video")
+            if not 0 < sup_count < b:
+                raise ValueError(
+                    f"sup_count={sup_count} must split the batch axis ({b})")
+            if cfg.variant in ("fg_bg", "local_only"):
+                raise ValueError(
+                    f"sup_count (fused passes) is unsupported for "
+                    f"{cfg.variant!r} (its cycle features need the "
+                    "classifier heads)")
 
         backbone = _per_view(ResNetIEKD)(
             stem_width=cfg.stem_width,
@@ -183,6 +213,22 @@ class GlobalAndLocal(nn.Module):
             feat = attend(f4, "global_attn") if use_g else f4
             return {"f4_global": feat}
 
+        # Fused supervised+cycle pass: split AFTER the backbone (and after
+        # the global attention when the variant's cycle slot consumes it);
+        # everything below runs on the supervised slice only.
+        f4_cycle_fused = None
+        g_pre = None
+        if sup_count is not None:
+            use_g = not cyc_raw and variant in (
+                "global_and_local", "global_only", "conv_merge")
+            if use_g:
+                g_all = attend(f4, "global_attn")
+                f4_cycle_fused = g_all[:, sup_count:]
+                g_pre = g_all[:, :sup_count]
+            else:
+                f4_cycle_fused = f4[:, sup_count:]
+            f4 = f4[:, :sup_count]
+
         use_global = variant in ("global_and_local", "global_only",
                                  "conv_merge", "fg_bg")
         use_local = variant in ("global_and_local", "local_only",
@@ -207,7 +253,9 @@ class GlobalAndLocal(nn.Module):
             # fg_bg (reference :2997-3000): the global branch attends over the
             # background-masked features f4·(1−atten) instead of raw f4.
             g_in = f4 * (1.0 - atten) if variant == "fg_bg" else f4
-            f4_global_fusion = attend(g_in, "global_attn")
+            # fused pass already attended over the merged batch above
+            f4_global_fusion = (g_pre if g_pre is not None
+                                else attend(g_in, "global_attn"))
 
         if variant in ("global_and_local", "fg_bg"):
             f4_fusion = f4_global_fusion + f4_local_fusion
@@ -251,7 +299,9 @@ class GlobalAndLocal(nn.Module):
 
         # Cycle-feature slot: faithful to each reference class's 3rd return
         # value (what main.py:220 pools for the cycle loss).
-        if cyc_raw:
+        if f4_cycle_fused is not None:
+            f4_cycle = f4_cycle_fused  # cycle frames only (fused pass)
+        elif cyc_raw:
             f4_cycle = f4                # cyc_nofusion :2763, :3138
         elif variant == "fg_bg":
             f4_cycle = f4_fusion         # :3024 (global + local sum)

@@ -80,6 +80,14 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
     views = tuple(cfg.model.views)
     test_idx = _test_view_indices(cfg)
     tc = cfg.train
+    if tc.fuse_passes:
+        if cps or tc.temporal:
+            raise ValueError("fuse_passes is exclusive of CPS/temporal "
+                             "(see TrainConfig.fuse_passes)")
+        if sup_model is not None:
+            raise ValueError("fuse_passes runs one merged pass; "
+                             "remat_supervised=False (a separate "
+                             "supervised-pass module) cannot apply")
     view_ids = None
     if fuse_preprocess:
         from glfusion_tpu.data.pipeline import view_ids_tuple
@@ -96,10 +104,26 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
             batch = dict(batch, **pre)
 
         def loss_fn(params):
-            out, upd = (sup_model or model).apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch["images"], True, mutable=["batch_stats"],
-                rngs={"dropout": rng_drop})
+            fused_feat = None
+            if tc.fuse_passes and tc.use_cycle and "clips" in batch:
+                # one merged backbone(+global-attention) pass over the
+                # supervised batch and the cycle clip; the model slices
+                # the head tail onto the supervised frames and returns
+                # the cycle frames' features in f4_global
+                sup_n = batch["images"].shape[1]
+                xcat = jnp.concatenate(
+                    [batch["images"],
+                     batch["clips"].astype(batch["images"].dtype)], axis=1)
+                out, upd = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    xcat, True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_drop}, sup_count=sup_n)
+                fused_feat = out["f4_global"]
+            else:
+                out, upd = (sup_model or model).apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    batch["images"], True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_drop})
             seg_loss = 0.0
             for vi in test_idx:
                 seg_loss += bce_with_logits_sum(out["mask"][vi],
@@ -124,18 +148,22 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
 
             cyc_loss = jnp.float32(0.0)
             if tc.use_cycle and "clips" in batch:
-                light = {"features_only": True} if tc.cycle_light else {}
-                if tc.temporal:
-                    # Global_and_Local_Temporal: fold the clip's T frames
-                    # into the attention token axis (reference intent,
-                    # models/ours.py:1959-1980)
-                    light["is_video"] = True
-                out2, upd2 = model.apply(
-                    {"params": params, "batch_stats": bstats},
-                    batch["clips"], True, mutable=["batch_stats"],
-                    rngs={"dropout": rng_cyc_drop}, **light)
-                bstats = upd2["batch_stats"]
-                feat = jnp.sum(out2["f4_global"], axis=(2, 3))  # (V, T, C)
+                if fused_feat is not None:
+                    feat = jnp.sum(fused_feat, axis=(2, 3))  # (V, T, C)
+                else:
+                    light = ({"features_only": True}
+                             if tc.cycle_light else {})
+                    if tc.temporal:
+                        # Global_and_Local_Temporal: fold the clip's T
+                        # frames into the attention token axis (reference
+                        # intent, models/ours.py:1959-1980)
+                        light["is_video"] = True
+                    out2, upd2 = model.apply(
+                        {"params": params, "batch_stats": bstats},
+                        batch["clips"], True, mutable=["batch_stats"],
+                        rngs={"dropout": rng_cyc_drop}, **light)
+                    bstats = upd2["batch_stats"]
+                    feat = jnp.sum(out2["f4_global"], axis=(2, 3))
                 kw = dict(target_region=tc.cycle_target_region,
                           cyc_off=tc.cycle_offset, chunk=tc.cycle_chunk,
                           temperature=tc.cycle_temperature)

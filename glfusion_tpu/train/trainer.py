@@ -97,6 +97,13 @@ class Trainer:
                 "temporal (video attention on cycle clips) requires the "
                 "plain glfusion arch: only GlobalAndLocal folds frames "
                 "into the attention token axis (is_video)")
+        if cfg.train.fuse_passes and (
+                cfg.model.arch != "glfusion" or self._cps
+                or cfg.model.variant in ("fg_bg", "local_only")):
+            raise ValueError(
+                "fuse_passes requires the plain glfusion arch (non-CPS; "
+                "not fg_bg/local_only): the merged pass slices the head "
+                "tail onto the supervised frames only")
 
         rng = jax.random.PRNGKey(cfg.train.seed)
         hw = cfg.data.crop_hw

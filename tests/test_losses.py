@@ -438,3 +438,77 @@ def test_per_pass_remat_step_is_exact():
     for a, b in zip(jax.tree_util.tree_leaves((p_base, bs_base)),
                     jax.tree_util.tree_leaves((p_pp, bs_pp))):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_fuse_passes_step_matches_cycle_light_on_uniform_frames():
+    """TrainConfig.fuse_passes merges the supervised and cycle forwards
+    into one backbone pass. The only numeric divergence from cycle_light
+    is BN batch moments (merged batch vs two per-pass batches), so with
+    every frame identical (per view) and dropout off, the fused step's
+    losses must equal the cycle_light step's."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, aspp_dropout=0.0))
+    model = GlobalAndLocal(cfg.model)
+    hw, t = cfg.data.crop_hw, cfg.data.clip_length
+    v = cfg.model.num_views
+    rs = np.random.RandomState(0)
+    frame = rs.rand(v, 1, hw, hw, 1).astype(np.float32)
+    batch = {
+        "images": jnp.asarray(np.broadcast_to(frame, (v, 2, hw, hw, 1))),
+        "masks": jnp.asarray(
+            (rs.rand(v, 2, hw, hw, 5) > 0.5).astype(np.float32)),
+        "clips": jnp.asarray(np.broadcast_to(frame, (v, t, hw, hw, 1))),
+    }
+    variables = model.init(jax.random.PRNGKey(0), batch["images"], False)
+    init = jax.device_get(variables)
+
+    def run(**train_kw):
+        c = dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, **train_kw))
+        fresh = jax.tree_util.tree_map(jnp.asarray, init)
+        state = TrainState.create(
+            apply_fn=model.apply, params=fresh["params"],
+            batch_stats=fresh.get("batch_stats", {}),
+            tx=make_optimizer(c, 10))
+        state2, m = make_train_step(c, model)(
+            state, dict(batch), jax.random.PRNGKey(3))
+        return state2, jax.device_get(m)
+
+    s_fused, m_fused = run(fuse_passes=True)
+    _, m_light = run(cycle_light=True)
+    assert np.isfinite(m_fused["loss"])
+    np.testing.assert_allclose(m_fused["seg_loss"], m_light["seg_loss"],
+                               rtol=1e-5)
+    np.testing.assert_allclose(m_fused["cyc_loss"], m_light["cyc_loss"],
+                               rtol=1e-5)
+    # the fused step actually updated parameters
+    changed = any(
+        not np.allclose(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(jax.device_get(s_fused.params)),
+            jax.tree_util.tree_leaves(init["params"])))
+    assert changed
+
+
+def test_fuse_passes_rejects_cps_and_sup_model():
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models import GlobalAndLocal
+    from glfusion_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(cfg, train=dataclasses.replace(
+        cfg.train, fuse_passes=True))
+    model = GlobalAndLocal(cfg.model)
+    with pytest.raises(ValueError, match="exclusive"):
+        make_train_step(cfg, model, cps=True)
+    with pytest.raises(ValueError, match="merged pass"):
+        make_train_step(cfg, model, sup_model=model)

@@ -473,3 +473,70 @@ def test_temporal_composes_with_cycle_light():
         state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
     assert float(metrics["cyc_loss"]) != 0.0
+
+
+@pytest.mark.parametrize("variant",
+                         ["global_and_local", "cyc_nofusion", "early_fusion"])
+def test_fused_pass_eval_slices_exactly(variant):
+    """sup_count (the fused supervised+cycle pass, TrainConfig.fuse_passes):
+    in eval mode (running BN stats, no dropout) the merged pass must
+    reproduce the separate supervised forward and the features_only cycle
+    forward exactly — the split after the backbone/attention is pure
+    slicing."""
+    from dataclasses import replace
+
+    import flax
+
+    cfg = tiny_config()
+    cfg = replace(cfg, model=replace(cfg.model, variant=variant))
+    model = GlobalAndLocal(cfg.model)
+    v, b, t = cfg.model.num_views, 2, 6
+    hw = cfg.data.crop_hw
+    rs = np.random.RandomState(0)
+    images = jnp.asarray(rs.rand(v, b, hw, hw, 1), jnp.float32)
+    clips = jnp.asarray(rs.rand(v, t, hw, hw, 1), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, images, False))(
+        jax.random.PRNGKey(0))
+    # un-zero the TPAVI out-proj BN scale so the attention output actually
+    # depends on its input (at init the block reduces to LN(x))
+    if variant == "global_and_local":
+        p = flax.core.unfreeze(variables["params"])
+        for attn in ("global_attn", "local_attn"):
+            p[attn]["w_z_bn"]["scale"] = jnp.ones_like(
+                p[attn]["w_z_bn"]["scale"])
+        variables = {"params": p, "batch_stats": variables["batch_stats"]}
+
+    xcat = jnp.concatenate([images, clips], axis=1)
+    out_f = model.apply(variables, xcat, False, sup_count=b)
+    out_s = model.apply(variables, images, False)
+    out_c = model.apply(variables, clips, False, features_only=True)
+
+    assert out_f["mask"].shape == (v, b, hw, hw, 5)
+    assert out_f["f4_global"].shape[:2] == (v, t)
+    np.testing.assert_allclose(np.asarray(out_f["mask"]),
+                               np.asarray(out_s["mask"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["mask_bb"]),
+                               np.asarray(out_s["mask_bb"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_f["f4_global"]),
+                               np.asarray(out_c["f4_global"]),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_pass_rejects_unsupported_modes():
+    from dataclasses import replace
+
+    cfg = tiny_config()
+    v, hw = cfg.model.num_views, cfg.data.crop_hw
+    x = jnp.zeros((v, 4, hw, hw, 1), jnp.float32)
+    for bad in ("fg_bg", "local_only"):
+        m = GlobalAndLocal(replace(cfg.model, variant=bad))
+        with pytest.raises(ValueError, match="fused passes"):
+            m.init(jax.random.PRNGKey(0), x, True, sup_count=2)
+    m = GlobalAndLocal(cfg.model)
+    with pytest.raises(ValueError, match="split the batch"):
+        m.init(jax.random.PRNGKey(0), x, True, sup_count=4)
+    with pytest.raises(ValueError, match="exclusive"):
+        m.init(jax.random.PRNGKey(0), x, True, sup_count=2,
+               features_only=True)
