@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "via utils/torch_convert) instead of an Orbax one — "
                         "the reference eval loads net_XXXXX.pth the same way "
                         "(main.py:454-457); glfusion arch only")
+    p.add_argument("--imagenet-backbone", default=None,
+                   help="initialize the backbone from a LOCAL torchvision "
+                        "resnet50 ImageNet .pth (the reference recipe: "
+                        "pretrained_backbone=True default, "
+                        "segmentation.py:197-207, conv1 replaced "
+                        "_utils.py:192); glfusion arch only")
     p.add_argument("--out-dir", default="./predictions",
                    help="infer-mode output directory for predicted masks")
     p.add_argument("--method-name", default="glfusion_tpu",
@@ -302,6 +308,11 @@ def main(argv=None) -> int:
     from glfusion_tpu.train.trainer import Trainer
 
     trainer = Trainer(cfg, data_paths=data_paths)
+    if args.imagenet_backbone is not None and args.torch_ckpt is not None:
+        raise SystemExit("error: --imagenet-backbone is an initialization; "
+                         "--torch-ckpt loads a full checkpoint — pick one")
+    if args.imagenet_backbone is not None:
+        trainer.load_imagenet_backbone(args.imagenet_backbone)
     if args.torch_ckpt is not None:
         trainer.load_torch_checkpoint(args.torch_ckpt)
     elif args.resume or args.mode in ("val", "visual", "infer", "serve"):

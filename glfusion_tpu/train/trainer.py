@@ -182,6 +182,36 @@ class Trainer:
                                         batch_stats=converted["batch_stats"])
         self._log(f"loaded + converted torch checkpoint {path}")
 
+    def load_imagenet_backbone(self, path: str) -> None:
+        """Start from an ImageNet-pretrained backbone, like the reference.
+
+        The reference's ``_segm_model_iekd`` defaults to
+        ``pretrained_backbone=True`` (models/segmentation.py:197-207), so
+        its layer1..4 + bn1 come from torchvision's ImageNet resnet50 while
+        the replaced conv1 (models/_utils.py:192) stays random; the per-view
+        copies are identical (deep-copied template, ours.py:1724-1734).
+        This overlays a local torchvision resnet50 state dict the same way
+        (utils/imagenet_init) onto the initialized params/batch_stats and
+        re-applies the mesh sharding rules.
+        """
+        if self.cfg.model.arch != "glfusion" or self._cps:
+            raise ValueError("--imagenet-backbone requires the plain "
+                             "glfusion arch (the mapping targets the "
+                             "flagship's stacked-view backbone tree)")
+        from glfusion_tpu.utils.imagenet_init import (load_imagenet_backbone,
+                                                      merge_backbone)
+
+        conv = load_imagenet_backbone(path, self.cfg.model)
+        merged = {
+            "params": merge_backbone(self.state.params, conv["params"]),
+            "batch_stats": merge_backbone(self.state.batch_stats,
+                                          conv["batch_stats"]),
+        }
+        merged = shard_variables(merged, self.mesh)
+        self.state = self.state.replace(params=merged["params"],
+                                        batch_stats=merged["batch_stats"])
+        self._log(f"initialized backbone from ImageNet weights {path}")
+
     def train(self, num_epochs: Optional[int] = None) -> Dict[str, float]:
         cfg = self.cfg
         num_epochs = num_epochs or cfg.train.num_epochs

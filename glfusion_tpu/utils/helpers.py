@@ -2,8 +2,10 @@
 
 ``maybe_download`` keeps the reference's local-cache contract but without
 network egress: it resolves only files already present in the cache
-directory (the reference fetched torchvision model-zoo weights; pretrained
-ImageNet init is not part of the TPU rebuild's training recipe).
+directory (the reference fetched torchvision model-zoo weights). To start
+training from the reference's ImageNet-pretrained backbone, point
+``--imagenet-backbone`` at a local torchvision resnet50 ``.pth``
+(``utils/imagenet_init``).
 """
 
 from __future__ import annotations
