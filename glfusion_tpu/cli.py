@@ -21,13 +21,16 @@ def build_parser() -> argparse.ArgumentParser:
         description="GL-Fusion multi-view echocardiogram segmentation (TPU)")
     p.add_argument("--mode",
                    choices=["train", "val", "visual", "infer", "serve",
-                            "reg-train", "reg-val"],
+                            "export", "reg-train", "reg-val"],
                    default="train",
                    help="reference main.py:896-898; reg-* drive the mPAP "
                         "video-regression path (reference PAHDataset + "
                         "Resnet50PAH, which its entry point never wires); "
                         "serve = infer through the pipelined serving path "
-                        "(decode ‖ compute ‖ fetch, glfusion_tpu/serve.py)")
+                        "(decode ‖ compute ‖ fetch, glfusion_tpu/serve.py); "
+                        "export = save the serving forward as a "
+                        "self-contained StableHLO artifact "
+                        "(utils/model_export.py)")
     p.add_argument("--data-root", default=None,
                    help="dataset root containing infos/, data_list/, .nii.gz;"
                         " omit to run on synthetic data")
@@ -148,6 +151,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "(more hides decode latency, costs HBM)")
     p.add_argument("--serve-threads", type=int, default=2,
                    help="--mode serve: host NIfTI decode workers")
+    p.add_argument("--export-dir", default="./exported",
+                   help="--mode export: output directory for the AOT "
+                        "serving artifact (serving_fn.jaxexp + meta.json)")
+    p.add_argument("--export-platforms", default="cpu,tpu",
+                   help="--mode export: comma-separated lowering platforms "
+                        "baked into the artifact")
+    p.add_argument("--from-export", default=None,
+                   help="--mode serve: run a saved AOT artifact "
+                        "(--mode export output) instead of the live "
+                        "checkpoint weights")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="pin the JAX backend (overrides autodetection; "
                         "useful when a site-level jax import has already "
@@ -305,17 +318,19 @@ def main(argv=None) -> int:
     if args.mode in ("reg-train", "reg-val"):
         return _run_regression(args, cfg, data_paths)
 
-    from glfusion_tpu.train.trainer import Trainer
-
-    trainer = Trainer(cfg, data_paths=data_paths)
     if args.imagenet_backbone is not None and args.torch_ckpt is not None:
         raise SystemExit("error: --imagenet-backbone is an initialization; "
                          "--torch-ckpt loads a full checkpoint — pick one")
+
+    from glfusion_tpu.train.trainer import Trainer
+
+    trainer = Trainer(cfg, data_paths=data_paths)
     if args.imagenet_backbone is not None:
         trainer.load_imagenet_backbone(args.imagenet_backbone)
     if args.torch_ckpt is not None:
         trainer.load_torch_checkpoint(args.torch_ckpt)
-    elif args.resume or args.mode in ("val", "visual", "infer", "serve"):
+    elif args.resume or args.mode in ("val", "visual", "infer", "serve",
+                                      "export"):
         trainer.load_latest()
 
     if args.mode == "train":
@@ -323,11 +338,24 @@ def main(argv=None) -> int:
     elif args.mode == "infer":
         n = trainer.infer(out_dir=args.out_dir)
         print(f"wrote {n} prediction volumes")
+    elif args.mode == "export":
+        from glfusion_tpu.utils.model_export import (export_serving_forward,
+                                                     save_exported)
+        variables = {"params": trainer.state.params,
+                     "batch_stats": trainer.state.batch_stats}
+        platforms = tuple(p for p in args.export_platforms.split(",") if p)
+        exported = export_serving_forward(cfg, trainer.model, variables,
+                                          platforms=platforms)
+        meta = save_exported(exported, args.export_dir, cfg)
+        print(f"exported serving forward to {args.export_dir} "
+              f"({meta['serialized_bytes']} bytes, "
+              f"platforms {meta['platforms']}, symbolic frame axis)")
     elif args.mode == "serve":
         from glfusion_tpu.serve import serve_test_clips
         stats = serve_test_clips(trainer, out_dir=args.out_dir,
                                  depth=args.serve_depth,
-                                 threads=args.serve_threads)
+                                 threads=args.serve_threads,
+                                 from_export=args.from_export)
         print(f"served {stats['clips']} clips "
               f"({stats['clips_per_s']} clips/s, {stats['wall_s']} s): "
               f"wrote {stats['written']} prediction volumes")

@@ -43,14 +43,22 @@ class ClipPipeline:
     """
 
     def __init__(self, cfg: Config, model, variables: Dict[str, Any],
-                 depth: int = 2, threads: int = 2):
+                 depth: int = 2, threads: int = 2,
+                 forward: Any = None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.depth = max(1, depth)
         self.threads = max(1, threads)
 
-        def forward(variables, images):
+        if forward is not None:
+            # pre-built serving forward — e.g. a deserialized AOT export
+            # (utils/model_export.load_serving_forward): weights baked in,
+            # takes only the image array
+            self._fwd = lambda _vars, images: forward(images)
+            return
+
+        def _apply(variables, images):
             # images (V, T, H, W, 1) float32 in [0,1]; frames-as-batch
             out = model.apply(variables, images, False)
             # sigmoid > 0.5 == logits > 0; uint8 masks cut D2H 4x vs f32
@@ -59,7 +67,7 @@ class ClipPipeline:
         # top-level jit with the shipped TPU options: unlike an AOT
         # lower/compile, plain jit respects whatever shardings the caller's
         # variables are committed with (a mesh-sharded Trainer state works)
-        self._fwd = jax.jit(forward,
+        self._fwd = jax.jit(_apply,
                             compiler_options=default_compiler_options())
 
     # ------------------------------------------------------------- helpers
@@ -179,12 +187,15 @@ class ClipPipeline:
 
 
 def serve_test_clips(trainer, out_dir: str = "./predictions",
-                     depth: int = 2, threads: int = 2) -> dict:
+                     depth: int = 2, threads: int = 2,
+                     from_export: str = None) -> dict:
     """``--mode serve``: Trainer.infer through the pipeline, with timing.
 
     Same outputs as ``Trainer.infer`` (per-clip per-view (5, H, W, T)
     uint8 NIfTI masks) but decode/compute/fetch overlapped; returns
     ``{"written": n, "clips": n, "clips_per_s": ..., "wall_s": ...}``.
+    ``from_export`` serves a saved AOT artifact (``--mode export``)
+    instead of the Trainer's live weights.
     """
     from pathlib import Path
 
@@ -202,8 +213,17 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
     cfg = trainer.cfg
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
+    forward = None
+    if from_export is not None:
+        from glfusion_tpu.utils.model_export import load_serving_forward
+        forward, meta = load_serving_forward(from_export)
+        if meta and meta.get("views") and list(meta["views"]) != list(
+                cfg.model.views):
+            raise ValueError(
+                f"export {from_export} was built for views {meta['views']} "
+                f"but this run is configured for {list(cfg.model.views)}")
     pipe = ClipPipeline(cfg, trainer.model, variables,
-                        depth=depth, threads=threads)
+                        depth=depth, threads=threads, forward=forward)
     ids = sorted(trainer.test_infos.keys())
     clips = [(cid, dict(trainer.test_infos[cid]["views_images"]))
              for cid in ids]

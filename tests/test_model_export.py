@@ -1,0 +1,102 @@
+"""AOT serving export (utils/model_export): serialize → reload → exact.
+
+The reference has no deployment story (serving = carrying the PyTorch
+codebase + a .pth, main.py:454-457). The export artifact must reproduce
+the live serving forward exactly, at ANY clip length (symbolic frame
+axis), through pure jax with no model code.
+"""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.models import GlobalAndLocal
+from glfusion_tpu.utils.model_export import (export_serving_forward,
+                                             load_serving_forward,
+                                             make_serving_forward,
+                                             save_exported)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_config()
+    model = GlobalAndLocal(cfg.model)
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    x = jnp.zeros((v, 2, hw, hw, 1), jnp.float32)
+    variables = jax.device_get(
+        jax.jit(lambda r: model.init(r, x, False))(jax.random.PRNGKey(0)))
+    return cfg, model, variables
+
+
+def test_export_roundtrip_exact_any_frames(tiny_model, tmp_path):
+    cfg, model, variables = tiny_model
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",))
+    meta = save_exported(exported, str(tmp_path / "art"), cfg)
+    assert meta["symbolic_frames"] is True
+    assert meta["num_views"] == cfg.model.num_views
+
+    fwd, meta2 = load_serving_forward(str(tmp_path / "art"))
+    assert meta2["format"] == "glfusion_tpu.jax_export.v1"
+    direct = make_serving_forward(model, variables)
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    rs = np.random.RandomState(0)
+    # two different clip lengths through ONE artifact — the symbolic frame
+    # axis means no per-shape re-export (the model folds T into batch)
+    for t in (2, 5):
+        x = rs.rand(v, t, hw, hw, 1).astype(np.float32)
+        got = np.asarray(fwd(x))
+        want = np.asarray(direct(jnp.asarray(x)))
+        assert got.dtype == np.uint8
+        assert got.shape == (v, t, hw, hw, cfg.model.num_classes)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_export_meta_written(tiny_model, tmp_path):
+    cfg, model, variables = tiny_model
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",))
+    save_exported(exported, str(tmp_path / "art"), cfg)
+    meta = json.loads((tmp_path / "art" / "meta.json").read_text())
+    assert meta["platforms"] == ["cpu"]
+    assert meta["views"] == list(cfg.model.views)
+    assert meta["crop_hw"] == cfg.data.crop_hw
+    assert (tmp_path / "art" / "serving_fn.jaxexp").stat().st_size == \
+        meta["serialized_bytes"]
+
+
+def test_load_missing_artifact_raises(tmp_path):
+    with pytest.raises(FileNotFoundError, match="export directory"):
+        load_serving_forward(str(tmp_path / "nowhere"))
+
+
+def test_clip_pipeline_from_export_matches_live(tiny_model, tmp_path):
+    """ClipPipeline(forward=<exported>) == ClipPipeline(live weights)."""
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",))
+    save_exported(exported, str(tmp_path / "art"), cfg)
+    fwd, _ = load_serving_forward(str(tmp_path / "art"))
+
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    rs = np.random.RandomState(1)
+    clips = [(f"c{i}", rs.rand(v, 3, hw, hw, 1).astype(np.float32))
+             for i in range(3)]
+
+    def decode(item):
+        return item
+
+    live = ClipPipeline(cfg, model, variables, depth=2, threads=1)
+    aot = ClipPipeline(cfg, model, variables, depth=2, threads=1,
+                       forward=fwd)
+    got_live = {cid: m for cid, m in live.predict_iter(clips, decode)}
+    got_aot = {cid: m for cid, m in aot.predict_iter(clips, decode)}
+    assert got_live.keys() == got_aot.keys()
+    for cid in got_live:
+        np.testing.assert_array_equal(got_live[cid], got_aot[cid])
