@@ -328,8 +328,18 @@ class Trainer:
         run — its data file is absent from the reference repo — so the
         frame-level eval here is the working equivalent)."""
         results = {}
-        for name, ids in (("Inner-val", VAL_CLIPS), ("Inner-test", TEST_CLIPS)):
-            ids = [i for i in ids if i in self.test_infos]
+        val_ids = [i for i in VAL_CLIPS if i in self.test_infos]
+        test_ids = [i for i in TEST_CLIPS if i in self.test_infos]
+        if not val_ids and not test_ids and self.test_infos:
+            # user-built test_infos (data/index_builder.py) without the
+            # reference's 0_* clip ids: derive the same 2/8 proportions
+            # deterministically over the sorted clip ids
+            ids = sorted(self.test_infos)
+            n_val = max(1, len(ids) // 5) if len(ids) > 1 else 0
+            val_ids, test_ids = ids[:n_val], ids[n_val:]
+            self._log(f"test_infos has no reference clip ids; derived "
+                      f"Inner-val={val_ids} Inner-test={test_ids}")
+        for name, ids in (("Inner-val", val_ids), ("Inner-test", test_ids)):
             if not ids:
                 continue
             results[name] = self.evaluate_clips(ids, name)
