@@ -157,6 +157,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-platforms", default="cpu,tpu",
                    help="--mode export: comma-separated lowering platforms "
                         "baked into the artifact")
+    p.add_argument("--export-hw", type=int, default=None,
+                   help="--mode export: pinned spatial size of the "
+                        "artifact (default: the configured crop size; the "
+                        "frame axis is symbolic but H=W cannot be)")
     p.add_argument("--from-export", default=None,
                    help="--mode serve: run a saved AOT artifact "
                         "(--mode export output) instead of the live "
@@ -327,11 +331,22 @@ def main(argv=None) -> int:
     trainer = Trainer(cfg, data_paths=data_paths)
     if args.imagenet_backbone is not None:
         trainer.load_imagenet_backbone(args.imagenet_backbone)
+    restored = False
     if args.torch_ckpt is not None:
         trainer.load_torch_checkpoint(args.torch_ckpt)
+        restored = True
+    elif args.mode == "serve" and args.from_export is not None:
+        # the AOT artifact carries its own weights; skip the (possibly
+        # multi-GB) live-checkpoint restore entirely
+        pass
     elif args.resume or args.mode in ("val", "visual", "infer", "serve",
                                       "export"):
-        trainer.load_latest()
+        restored = trainer.load_latest()
+    if args.mode == "export" and not restored:
+        raise SystemExit(
+            "error: --mode export found no weights to bake into the "
+            "artifact (no checkpoint under --save-dir and no --torch-ckpt);"
+            " exporting a random-init model is never what you want")
 
     if args.mode == "train":
         trainer.train()
@@ -343,9 +358,11 @@ def main(argv=None) -> int:
                                                      save_exported)
         variables = {"params": trainer.state.params,
                      "batch_stats": trainer.state.batch_stats}
-        platforms = tuple(p for p in args.export_platforms.split(",") if p)
+        platforms = tuple(p.strip() for p in args.export_platforms.split(",")
+                          if p.strip())
         exported = export_serving_forward(cfg, trainer.model, variables,
-                                          platforms=platforms)
+                                          platforms=platforms,
+                                          hw=args.export_hw)
         meta = save_exported(exported, args.export_dir, cfg)
         print(f"exported serving forward to {args.export_dir} "
               f"({meta['serialized_bytes']} bytes, "

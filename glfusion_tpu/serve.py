@@ -44,12 +44,20 @@ class ClipPipeline:
 
     def __init__(self, cfg: Config, model, variables: Dict[str, Any],
                  depth: int = 2, threads: int = 2,
-                 forward: Any = None):
+                 forward: Any = None, pad_clips: bool = None,
+                 expected_hw: int = None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
         self.depth = max(1, depth)
         self.threads = max(1, threads)
+        # a live jit compiles once per shape → pad every clip to
+        # clip_length; an AOT export with a symbolic frame axis runs the
+        # true frame count directly (no wasted compute on padding frames)
+        self._pad_clips = (forward is None) if pad_clips is None else pad_clips
+        # AOT exports pin the spatial size; check per clip with a clear
+        # error instead of a raw XLA shape mismatch
+        self._expected_hw = expected_hw
 
         if forward is not None:
             # pre-built serving forward — e.g. a deserialized AOT export
@@ -73,13 +81,25 @@ class ClipPipeline:
     # ------------------------------------------------------------- helpers
 
     def _pad_clip(self, images: np.ndarray) -> Tuple[np.ndarray, int]:
-        """Pad/trim (V, T, H, W, 1) to the compiled clip_length frames."""
+        """Pad/trim (V, T, H, W, 1) to the compiled clip_length frames.
+
+        With ``pad_clips=False`` (AOT export, symbolic frame axis) only
+        the clip_length trim applies — the protocol caps clips either way
+        (``Test_Seg_PAHDataset`` clip_length, reference loader.py:1095).
+        """
+        if self._expected_hw is not None and (
+                images.shape[2:4] != (self._expected_hw, self._expected_hw)):
+            raise ValueError(
+                f"clip spatial size {images.shape[2:4]} does not match the "
+                f"AOT export's pinned {self._expected_hw}²: serve clips at "
+                f"the exported size, re-export with --export-hw, or serve "
+                f"the live checkpoint (no --from-export)")
         t_fix = self.cfg.data.clip_length
         t = images.shape[1]
-        if t == t_fix:
-            return images, t
         if t > t_fix:
             return images[:, :t_fix], t_fix
+        if t == t_fix or not self._pad_clips:
+            return images, t
         pad = np.zeros((images.shape[0], t_fix - t) + images.shape[2:],
                        images.dtype)
         return np.concatenate([images, pad], axis=1), t
@@ -214,6 +234,7 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
     forward = None
+    expected_hw = None
     if from_export is not None:
         from glfusion_tpu.utils.model_export import load_serving_forward
         forward, meta = load_serving_forward(from_export)
@@ -222,8 +243,17 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
             raise ValueError(
                 f"export {from_export} was built for views {meta['views']} "
                 f"but this run is configured for {list(cfg.model.views)}")
+        if meta and meta.get("num_classes") not in (None,
+                                                    cfg.model.num_classes):
+            raise ValueError(
+                f"export {from_export} predicts {meta['num_classes']} "
+                f"classes but this run is configured for "
+                f"{cfg.model.num_classes}")
+        expected_hw = (meta or {}).get("input_hw") or (meta or {}).get(
+            "crop_hw")
     pipe = ClipPipeline(cfg, trainer.model, variables,
-                        depth=depth, threads=threads, forward=forward)
+                        depth=depth, threads=threads, forward=forward,
+                        expected_hw=expected_hw)
     ids = sorted(trainer.test_infos.keys())
     clips = [(cid, dict(trainer.test_infos[cid]["views_images"]))
              for cid in ids]

@@ -330,15 +330,19 @@ class Trainer:
         results = {}
         val_ids = [i for i in VAL_CLIPS if i in self.test_infos]
         test_ids = [i for i in TEST_CLIPS if i in self.test_infos]
-        if not val_ids and not test_ids and self.test_infos:
-            # user-built test_infos (data/index_builder.py) without the
-            # reference's 0_* clip ids: derive the same 2/8 proportions
-            # deterministically over the sorted clip ids
-            ids = sorted(self.test_infos)
-            n_val = max(1, len(ids) // 5) if len(ids) > 1 else 0
-            val_ids, test_ids = ids[:n_val], ids[n_val:]
-            self._log(f"test_infos has no reference clip ids; derived "
-                      f"Inner-val={val_ids} Inner-test={test_ids}")
+        extra = sorted(set(self.test_infos) - set(VAL_CLIPS)
+                       - set(TEST_CLIPS))
+        if extra:
+            # user-built test_infos (data/index_builder.py) with clip ids
+            # outside the reference's 0_* split: assign them the same 2/8
+            # proportions deterministically (sorted order) so no clip is
+            # silently dropped from evaluation
+            n_val = max(1, len(extra) // 5) if len(extra) > 1 else 0
+            val_ids = val_ids + extra[:n_val]
+            test_ids = test_ids + extra[n_val:]
+            self._log(f"test_infos has {len(extra)} non-reference clip "
+                      f"ids; derived Inner-val={val_ids} "
+                      f"Inner-test={test_ids}")
         for name, ids in (("Inner-val", val_ids), ("Inner-test", test_ids)):
             if not ids:
                 continue

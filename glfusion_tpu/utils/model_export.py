@@ -21,6 +21,16 @@ The exported contract matches the online serving pipeline
 float32 in [0, 1] (already preprocessed frames), output
 ``(V, T, H, W, num_classes)`` uint8 thresholded masks (sigmoid > 0.5 ==
 logits > 0 — the reference eval's rule, ``main.py:518-519``).
+
+Only the FRAME axis is symbolic. The spatial dims are pinned to
+``hw × hw`` (default ``cfg.data.crop_hw`` — the reference's test clips
+are pre-extracted at 112², ``Test_Seg_PAHDataset``): spatial shape
+polymorphism was probed and does not lower — the backbone's
+stride/dilation arithmetic produces size-dependent branches that
+``jax.export`` reports as inconclusive symbolic comparisons even under
+``h >= 32``-style constraints. Serve clips at the exported size (the
+meta records it as ``input_hw``; the serving path validates it with a
+clear error), or re-export with ``hw=`` for a different size.
 """
 
 from __future__ import annotations
@@ -51,20 +61,23 @@ def make_serving_forward(model, variables) -> Callable:
 def export_serving_forward(
         cfg: Config, model, variables,
         platforms: Sequence[str] = ("cpu", "tpu"),
-        frames: Optional[int] = None):
+        frames: Optional[int] = None,
+        hw: Optional[int] = None):
     """Export the serving forward as a ``jax.export.Exported``.
 
     ``frames=None`` exports a symbolic frame axis (any T at runtime);
     an int pins it (smaller search space for very old runtimes).
-    Weights are fetched to host first so they serialize as module
-    constants regardless of their current device/sharding.
+    ``hw`` pins the spatial size (default ``cfg.data.crop_hw``; see the
+    module docstring for why it cannot be symbolic). Weights are fetched
+    to host first so they serialize as module constants regardless of
+    their current device/sharding.
     """
     from jax import export as jax_export
 
     variables = jax.device_get(variables)
     fwd = make_serving_forward(model, variables)
     v = cfg.model.num_views
-    hw = cfg.data.crop_hw
+    hw = cfg.data.crop_hw if hw is None else int(hw)
     if frames is None:
         (t,) = jax_export.symbolic_shape("t")
     else:
@@ -80,6 +93,7 @@ def save_exported(exported, path: str, cfg: Config) -> Dict[str, Any]:
     out.mkdir(parents=True, exist_ok=True)
     blob = exported.serialize()
     (out / _BLOB).write_bytes(blob)
+    in_shape = exported.in_avals[0].shape
     meta = {
         "format": "glfusion_tpu.jax_export.v1",
         "input": {"shape": ["V", "T", "H", "W", 1], "dtype": "float32",
@@ -88,11 +102,11 @@ def save_exported(exported, path: str, cfg: Config) -> Dict[str, Any]:
                    "meaning": "per-structure masks, sigmoid > 0.5"},
         "num_views": cfg.model.num_views,
         "views": list(cfg.model.views),
+        "input_hw": int(in_shape[2]),  # pinned spatial size (H == W)
         "crop_hw": cfg.data.crop_hw,
         "num_classes": cfg.model.num_classes,
         "platforms": list(exported.platforms),
-        "symbolic_frames": not isinstance(exported.in_avals[0].shape[1],
-                                          (int, np.integer)),
+        "symbolic_frames": not isinstance(in_shape[1], (int, np.integer)),
         "jax_version": jax.__version__,
         "serialized_bytes": len(blob),
     }
@@ -121,7 +135,12 @@ def load_serving_forward(path: str) -> Tuple[Callable, Dict[str, Any]]:
     if meta_file.exists():
         meta = json.loads(meta_file.read_text())
 
+    # jit once: Exported.call builds a fresh traced callable per
+    # invocation; under jit the artifact is traced/cached per input shape
+    # (one entry per distinct T with the symbolic frame axis)
+    call = jax.jit(exported.call)
+
     def forward(images):
-        return exported.call(jnp.asarray(images, jnp.float32))
+        return call(jnp.asarray(images, jnp.float32))
 
     return forward, meta

@@ -176,3 +176,15 @@ def test_trainer_derives_clip_split_for_user_ids(synth, tmp_path, monkeypatch):
     assert seen["Inner-val"] == ids[:2]      # 10 clips → 2 val
     assert seen["Inner-test"] == ids[2:]
     assert set(seen["Inner-val"]) | set(seen["Inner-test"]) == set(ids)
+
+    # MIXED ids: reference-named clips keep the reference split AND the
+    # user clips still get evaluated (not silently dropped)
+    mixed = dict(renamed)
+    mixed["0_0"] = next(iter(renamed.values()))   # one reference val clip
+    trainer.test_infos = mixed
+    seen.clear()
+    trainer.validation_and_test()
+    extra = sorted(renamed)                        # the 10 user clips
+    assert seen["Inner-val"] == ["0_0"] + extra[:2]
+    assert seen["Inner-test"] == extra[2:]
+    assert (set(seen["Inner-val"]) | set(seen["Inner-test"])) == set(mixed)

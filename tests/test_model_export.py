@@ -65,13 +65,69 @@ def test_export_meta_written(tiny_model, tmp_path):
     assert meta["platforms"] == ["cpu"]
     assert meta["views"] == list(cfg.model.views)
     assert meta["crop_hw"] == cfg.data.crop_hw
+    assert meta["input_hw"] == cfg.data.crop_hw  # pinned spatial contract
     assert (tmp_path / "art" / "serving_fn.jaxexp").stat().st_size == \
         meta["serialized_bytes"]
+
+
+def test_pipeline_rejects_wrong_spatial_size(tiny_model, tmp_path):
+    """Serving a clip at a size other than the export's pinned H=W must be
+    a clear error, not a raw XLA avals mismatch."""
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",))
+    save_exported(exported, str(tmp_path / "art"), cfg)
+    fwd, meta = load_serving_forward(str(tmp_path / "art"))
+    pipe = ClipPipeline(cfg, model, variables, forward=fwd,
+                        expected_hw=meta["input_hw"])
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    bad = np.zeros((v, 3, hw + 4, hw + 4, 1), np.float32)
+    with pytest.raises(ValueError, match="pinned"):
+        pipe.predict_one(bad)
+
+
+def test_export_serving_skips_frame_padding(tiny_model):
+    """With an AOT forward the pipeline must feed the TRUE frame count
+    (the symbolic frame axis exists precisely to skip padding compute)."""
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    seen = []
+
+    def fake_forward(images):
+        seen.append(images.shape)
+        return jnp.zeros(images.shape[:4] + (cfg.model.num_classes,),
+                         jnp.uint8)
+
+    pipe = ClipPipeline(cfg, model, variables, forward=fake_forward)
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    t_short = max(1, cfg.data.clip_length - 2)
+    out = pipe.predict_one(np.zeros((v, t_short, hw, hw, 1), np.float32))
+    assert seen == [(v, t_short, hw, hw, 1)]   # not padded to clip_length
+    assert out.shape[1] == t_short
+    # live-jit pipelines still pad (compile-once behavior)
+    live = ClipPipeline(cfg, model, variables)
+    assert live._pad_clips is True and pipe._pad_clips is False
 
 
 def test_load_missing_artifact_raises(tmp_path):
     with pytest.raises(FileNotFoundError, match="export directory"):
         load_serving_forward(str(tmp_path / "nowhere"))
+
+
+def test_cli_export_refuses_random_weights(tmp_path):
+    """--mode export with no checkpoint and no --torch-ckpt must refuse:
+    a random-init deployment artifact that looks valid is worse than an
+    error."""
+    from glfusion_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="no weights"):
+        main(["--mode", "export", "--tiny", "--platform", "cpu",
+              "--save-dir", str(tmp_path / "empty_ckpt"),
+              "--export-dir", str(tmp_path / "art"),
+              "--export-platforms", "cpu"])
 
 
 def test_clip_pipeline_from_export_matches_live(tiny_model, tmp_path):
