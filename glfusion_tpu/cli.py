@@ -179,8 +179,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     # 'temporal' is a TRAIN-side switch on the plain model (the cycle
     # forward folds frames into attention tokens), not a graph variant
     temporal = args.variant == "temporal"
-    if temporal:
-        args.variant = "global_and_local"
+    variant = "global_and_local" if temporal else args.variant
     views = tuple(args.views.split(","))
     bad = [v for v in views if v not in ALL_VIEWS]
     if bad:
@@ -193,7 +192,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
     cfg = dataclasses.replace(
         cfg,
         model=dataclasses.replace(
-            cfg.model, views=views, variant=args.variant, arch=args.model,
+            cfg.model, views=views, variant=variant, arch=args.model,
             dtype=(args.dtype or cfg.model.dtype),
             remat=args.remat or cfg.model.remat,
             stem_pallas=args.stem_pallas or cfg.model.stem_pallas),
@@ -269,7 +268,8 @@ def _run_regression(args, cfg, data_paths) -> int:
             m = trainer.train_epoch(epoch)
             print(f"[glfusion] reg epoch {epoch}: loss={m['loss']:.4f} "
                   f"({m['steps']} steps)", flush=True)
-            if (epoch + 1) % cfg.train.save_every_epochs == 0 \
+            if (cfg.train.save_every_epochs > 0
+                    and (epoch + 1) % cfg.train.save_every_epochs == 0) \
                     or epoch == cfg.train.num_epochs - 1:
                 trainer.save(epoch)
         trainer.ckpt.wait()

@@ -84,6 +84,26 @@ class _ByteLRU:
             self._used -= self._nbytes(old)
 
 
+def align_views(vols, clip_length: int, t: int = None):
+    """Stack per-view clip arrays to ``(V, T, ...)`` with one common T.
+
+    THE single implementation of the eval/serving view-alignment rule
+    (used by both ``TestClipLoader`` and ``serve.ClipPipeline``): present
+    views are trimmed to the common minimum frame count (≤ ``clip_length``,
+    or the explicit ``t``); missing views (``None``) are zero-filled (the
+    reference pads missing views with zeros, ``loader.py:268-282``).
+    Returns ``(stacked, t)`` or ``(None, 0)`` when every view is missing.
+    """
+    if all(v is None for v in vols):
+        return None, 0
+    if t is None:
+        t = min(min(clip_length, v.shape[0]) for v in vols if v is not None)
+    vols = [None if v is None else v[:t] for v in vols]
+    shape = next(v.shape for v in vols if v is not None)
+    out = [np.zeros(shape, np.float32) if v is None else v for v in vols]
+    return np.stack(out), t
+
+
 def labeled_frames(lab: np.ndarray) -> np.ndarray:
     """Indices of labeled frames in an (H, W, T) raw label volume.
 
@@ -406,24 +426,16 @@ class TestClipLoader:
                 # img (1, H, W, T) → (T, H, W, 1); lab (5, H, W, T) → (T, H, W, 5)
                 imgs.append(np.transpose(img, (3, 1, 2, 0)))
                 masks.append(np.transpose(lab, (3, 1, 2, 0)))
-            if all(i is None for i in imgs):
+            # views may differ in frame count: align_views trims to the
+            # common minimum (≤ clip_length) and zero-fills missing views
+            # — the same helper serve.ClipPipeline.decode_paths uses
+            images, t = align_views(imgs, self.clip_length)
+            if images is None:
                 continue  # no requested view exists for this clip
-            # views may differ in frame count: the stacked (V, T, ...)
-            # layout needs one T, so trim every present view to the common
-            # minimum (≤ clip_length) — same rule as serve.decode_paths
-            t = min(min(self.clip_length, i.shape[0])
-                    for i in imgs if i is not None)
-            imgs = [None if i is None else i[:t] for i in imgs]
-            masks = [None if m is None else m[:t] for m in masks]
-            i_shape = next(i.shape for i in imgs if i is not None)
-            m_shape = next(m.shape for m in masks if m is not None)
-            imgs = [np.zeros(i_shape, np.float32) if i is None else i
-                    for i in imgs]
-            masks = [np.zeros(m_shape, np.float32) if m is None else m
-                     for m in masks]
+            mask_stack, _ = align_views(masks, self.clip_length, t=t)
             yield {"clip_id": cid,
-                   "images": np.stack(imgs),   # (V, T, H, W, 1)
-                   "masks": np.stack(masks)}   # (V, T, H, W, 5)
+                   "images": images,       # (V, T, H, W, 1)
+                   "masks": mask_stack}    # (V, T, H, W, 5)
 
 
 class RegressionClipLoader:

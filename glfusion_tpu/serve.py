@@ -167,9 +167,9 @@ class ClipPipeline:
         skipped by the pipeline, matching ``Trainer.infer``.
         """
         from glfusion_tpu.data.nifti import read_nifti
+        from glfusion_tpu.data.pipeline import align_views
 
         views = tuple(self.cfg.model.views)
-        t_fix = self.cfg.data.clip_length
         cid, paths = item
         vols = []
         for view in views:
@@ -178,19 +178,19 @@ class ClipPipeline:
                 vols.append(None)
                 continue
             vol = np.asarray(read_nifti(p), np.float32) / 255.0
-            vol = vol.squeeze()  # (H, W, T)
+            # accept (1, H, W, T) (the Test_Seg_PAHDataset file layout) or
+            # a bare (H, W, T); an unconditional squeeze() would also
+            # collapse T on single-frame clips and scramble the axes
+            if vol.ndim == 4 and vol.shape[0] == 1:
+                vol = vol[0]
+            if vol.ndim == 2:
+                vol = vol[..., None]  # single frame: (H, W) → (H, W, 1)
             vols.append(np.moveaxis(vol, -1, 0)[..., None])  # (T, H, W, 1)
-        if all(v is None for v in vols):
-            return cid, None
         # trim to the true common frame count so _pad_clip records it and
         # the yielded prediction is trimmed back (a short clip must not
         # come out with predictions over its zero-padding frames)
-        t_true = min(min(t_fix, v.shape[0]) for v in vols if v is not None)
-        vols = [None if v is None else v[:t_true] for v in vols]
-        shape = next(v.shape for v in vols if v is not None)
-        vols = [np.zeros(shape, np.float32) if v is None else v
-                for v in vols]
-        return cid, np.stack(vols)
+        images, _ = align_views(vols, self.cfg.data.clip_length)
+        return cid, images
 
     def predict_one(self, images: np.ndarray) -> np.ndarray:
         """Serial single-clip prediction (no pipelining): uint8 masks."""
@@ -261,14 +261,16 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
     out.mkdir(parents=True, exist_ok=True)
 
     written = 0
-    t0 = time.perf_counter()
+    served = 0  # clips with no requested view on disk are skipped —
+    t0 = time.perf_counter()  # count what actually ran, not the nominal list
     for cid, pred in pipe.predict_paths(clips):
+        served += 1
         for vi, view in enumerate(cfg.model.views):
             # (T, H, W, 5) → (5, H, W, T) uint8 (Test_Seg_PAHDataset layout)
             vol = np.transpose(pred[vi], (3, 1, 2, 0)).astype(np.uint8)
             write_nifti(out / f"pred_{cid}_v{view}.nii.gz", vol)
             written += 1
     wall = time.perf_counter() - t0
-    return {"written": written, "clips": len(clips),
-            "clips_per_s": round(len(clips) / wall, 3) if wall else None,
+    return {"written": written, "clips": served,
+            "clips_per_s": round(served / wall, 3) if wall else None,
             "wall_s": round(wall, 3)}

@@ -116,6 +116,15 @@ class _FlaxBackend:
     """
 
     def __init__(self, directory: Path, max_to_keep: Optional[int]):
+        import jax
+        if jax.process_count() > 1:
+            # save() snapshots with jax.device_get, which cannot fetch
+            # shards on another process's devices; restore() returns host
+            # numpy. Only orbax handles process-spanning arrays.
+            raise RuntimeError(
+                "the flax checkpoint fallback is single-process only; "
+                "multi-host runs need the orbax backend "
+                "(GLFUSION_CKPT_BACKEND=orbax on a healthy install)")
         self.directory = directory
         self.directory.mkdir(parents=True, exist_ok=True)
         (self.directory / _FLAX_MARKER).touch()
@@ -197,8 +206,19 @@ class _FlaxBackend:
         path = self.directory / f"epoch_{step:05d}" / "state.msgpack"
         if not path.exists():
             return None
+        import jax
         from flax import serialization
-        return serialization.from_bytes(template, path.read_bytes())
+        restored = serialization.from_bytes(template, path.read_bytes())
+
+        # from_bytes yields host numpy; re-commit each leaf to its
+        # template's sharding so a mesh-sharded state resumes sharded
+        # (the orbax path restores into the sharded template natively)
+        def _place(t, r):
+            if isinstance(t, jax.Array):
+                return jax.device_put(r, t.sharding)
+            return r
+
+        return jax.tree_util.tree_map(_place, template, restored)
 
 
 class CheckpointManager:
@@ -210,8 +230,21 @@ class CheckpointManager:
         Pass an int (cfg.train.ckpt_keep / --ckpt-keep) to bound disk."""
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
-        # An existing flax-format dir stays flax even if orbax is healthy.
-        if (self.directory / _FLAX_MARKER).exists() or not _orbax_available():
+        # Explicit GLFUSION_CKPT_BACKEND beats the on-disk marker (the
+        # marker is written by any flax-backend construction, including
+        # one forced by a transient orbax probe failure — the documented
+        # remedy "set GLFUSION_CKPT_BACKEND=orbax" must actually work).
+        # With no override, an existing flax-format dir stays flax even
+        # if orbax is healthy.
+        forced = os.environ.get("GLFUSION_CKPT_BACKEND", "auto").lower()
+        if forced == "orbax":
+            use_flax = False
+        elif forced == "flax":
+            use_flax = True
+        else:
+            use_flax = ((self.directory / _FLAX_MARKER).exists()
+                        or not _orbax_available())
+        if use_flax:
             self.backend = "flax"
             self._impl = _FlaxBackend(self.directory, max_to_keep)
         else:

@@ -96,16 +96,68 @@ def test_flax_rejects_orbax_format_dir(tmp_path, flax_backend):
 
 def test_existing_flax_dir_stays_flax(tmp_path, flax_backend, monkeypatch):
     """A directory written by the flax backend is reopened as flax even if
-    a later process has a healthy orbax — format follows the data."""
+    a later process has a healthy orbax — format follows the data (unless
+    the user forces a backend, tested below)."""
     cm = CheckpointManager(str(tmp_path / "sticky"))
     cm.save(_state(4.0), 1, wait=True)
-    # now pretend orbax is importable
+    # now pretend orbax is importable, with NO explicit override
+    monkeypatch.delenv("GLFUSION_CKPT_BACKEND", raising=False)
     monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", True)
     cm2 = CheckpointManager(str(tmp_path / "sticky"))
     assert cm2.backend == "flax"
     r, nxt = cm2.restore_latest(_state(0.0))
     assert nxt == 2
     np.testing.assert_allclose(np.asarray(r.params["w"]), 4.0)
+
+
+def test_env_override_beats_flax_marker(tmp_path, flax_backend, monkeypatch):
+    """GLFUSION_CKPT_BACKEND=orbax must win over a stale flax marker —
+    it is the documented remedy when a transient probe failure wrote the
+    marker into an orbax checkpoint directory."""
+    CheckpointManager(str(tmp_path / "d"))  # writes the marker (flax forced)
+    assert (tmp_path / "d" / "GLFUSION_FLAX_CKPT").exists()
+    monkeypatch.setenv("GLFUSION_CKPT_BACKEND", "orbax")
+    monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
+    try:
+        import orbax.checkpoint  # noqa: F401
+    except Exception:
+        pytest.skip("orbax unavailable on this install")
+    cm = CheckpointManager(str(tmp_path / "d"))
+    assert cm.backend == "orbax"
+
+
+def test_flax_backend_refuses_multiprocess(tmp_path, flax_backend,
+                                           monkeypatch):
+    """The flax fallback snapshots with jax.device_get (per-process) —
+    multi-host runs must get a clear error, not a crash at the first
+    save of process-spanning shards."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    with pytest.raises(RuntimeError, match="single-process"):
+        CheckpointManager(str(tmp_path / "mp"))
+
+
+def test_flax_restore_recommits_shardings(tmp_path, flax_backend):
+    """Restore must place leaves back on the template's NamedShardings
+    (msgpack yields host numpy) so a mesh-sharded state resumes sharded."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from glfusion_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, model=2)
+    state = _state(3.0)
+    sharding = NamedSharding(mesh, P("model"))
+    sharded = state.replace(
+        params={"w": jax.device_put(state.params["w"], sharding),
+                "b": state.params["b"]})
+    cm = CheckpointManager(str(tmp_path / "sh"))
+    cm.save(sharded, 0, wait=True)
+    restored = cm.restore_step(sharded, 0)
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 3.0)
+    assert restored.params["w"].sharding == sharding
+    assert restored.params["w"].sharding.spec == P("model")
 
 
 def test_orbax_roundtrip_when_available(tmp_path):

@@ -128,6 +128,45 @@ def test_decode_paths_trims_short_clips(tiny_model, tmp_path):
     assert pred.shape[1] == t_short  # yielded masks trimmed to T_true
 
 
+def test_decode_paths_single_frame_clip(tiny_model, tmp_path):
+    """A single-frame (1, H, W, 1) test volume must decode to
+    (V, 1, H, W, 1) — an unconditional squeeze() used to collapse the T
+    axis too and scramble the layout."""
+    from glfusion_tpu.data.nifti import write_nifti
+    from glfusion_tpu.serve import ClipPipeline
+
+    cfg, model, variables = tiny_model
+    hw = cfg.data.crop_hw
+    rs = np.random.RandomState(5)
+    paths = {}
+    for view in cfg.model.views:
+        # Test_Seg_PAHDataset image layout (1, H, W, T) with T=1
+        vol = rs.randint(0, 255, (1, hw, hw, 1)).astype(np.uint8)
+        p = tmp_path / f"one_v{view}.nii.gz"
+        write_nifti(p, vol)
+        paths[view] = str(p)
+
+    pipe = ClipPipeline(cfg, model, variables, depth=1, threads=1)
+    cid, imgs = pipe.decode_paths(("one", paths))
+    assert imgs.shape == (len(cfg.model.views), 1, hw, hw, 1)
+    (_, pred), = list(pipe.predict_paths([("one", paths)]))
+    assert pred.shape[:2] == (len(cfg.model.views), 1)
+
+
+def test_config_from_args_is_idempotent():
+    """config_from_args must not mutate the parsed namespace: building a
+    config twice from the same args keeps --variant temporal."""
+    from glfusion_tpu.cli import build_parser, config_from_args
+
+    args = build_parser().parse_args(
+        ["--tiny", "--variant", "temporal", "--platform", "cpu"])
+    cfg1 = config_from_args(args)
+    cfg2 = config_from_args(args)
+    assert cfg1.train.temporal and cfg2.train.temporal
+    assert cfg2.model.variant == "global_and_local"
+    assert args.variant == "temporal"
+
+
 def test_serve_test_clips_end_to_end(tmp_path):
     """--mode serve over the synthetic test corpus writes the same files
     as Trainer.infer and reports throughput."""
