@@ -151,6 +151,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(more hides decode latency, costs HBM)")
     p.add_argument("--serve-threads", type=int, default=2,
                    help="--mode serve: host NIfTI decode workers")
+    p.add_argument("--http-port", type=int, default=None,
+                   help="--mode serve: start an online HTTP inference "
+                        "endpoint on this port (POST /predict, GET "
+                        "/healthz; glfusion_tpu/http_serve.py) instead of "
+                        "batch-serving the test corpus")
+    p.add_argument("--http-host", default="127.0.0.1",
+                   help="--http-port bind address (0.0.0.0 to expose)")
     p.add_argument("--export-dir", default="./exported",
                    help="--mode export: output directory for the AOT "
                         "serving artifact (serving_fn.jaxexp + meta.json)")
@@ -367,6 +374,10 @@ def main(argv=None) -> int:
         print(f"exported serving forward to {args.export_dir} "
               f"({meta['serialized_bytes']} bytes, "
               f"platforms {meta['platforms']}, symbolic frame axis)")
+    elif args.mode == "serve" and args.http_port is not None:
+        from glfusion_tpu.http_serve import serve_http
+        serve_http(trainer, host=args.http_host, port=args.http_port,
+                   from_export=args.from_export)
     elif args.mode == "serve":
         from glfusion_tpu.serve import serve_test_clips
         stats = serve_test_clips(trainer, out_dir=args.out_dir,

@@ -68,16 +68,29 @@ def read_nifti(path: str | Path) -> np.ndarray:
 
 def read_nifti_py(path: str | Path) -> np.ndarray:
     """Pure-Python reference implementation."""
-    raw = _read_bytes(path)
+    return parse_nifti_bytes(_read_bytes(path), name=str(path),
+                             gzipped=False)
+
+
+def parse_nifti_bytes(data: bytes, name: str = "<bytes>",
+                      gzipped: bool = None) -> np.ndarray:
+    """Parse a NIfTI-1 volume from in-memory bytes (.nii or .nii.gz).
+
+    ``gzipped=None`` sniffs the gzip magic — the path the HTTP serving
+    endpoint uses for uploaded volumes (no temp files).
+    """
+    if gzipped is None:
+        gzipped = data[:2] == b"\x1f\x8b"
+    raw = gzip.decompress(data) if gzipped else data
     if len(raw) < 348:
-        raise ValueError(f"{path}: truncated NIfTI header")
+        raise ValueError(f"{name}: truncated NIfTI header")
     sizeof_hdr = struct.unpack_from("<i", raw, 0)[0]
     if sizeof_hdr != 348:
         # try big-endian
         if struct.unpack_from(">i", raw, 0)[0] == 348:
-            return _parse(raw, ">", path)
-        raise ValueError(f"{path}: bad sizeof_hdr {sizeof_hdr}")
-    return _parse(raw, "<", path)
+            return _parse(raw, ">", name)
+        raise ValueError(f"{name}: bad sizeof_hdr {sizeof_hdr}")
+    return _parse(raw, "<", name)
 
 
 def _parse(raw: bytes, bo: str, path) -> np.ndarray:
@@ -108,8 +121,8 @@ def _parse(raw: bytes, bo: str, path) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def write_nifti(path: str | Path, arr: np.ndarray) -> None:
-    """Write a NIfTI-1 single-file volume (gzipped iff path ends with .gz)."""
+def nifti_bytes(arr: np.ndarray, gz: bool = True) -> bytes:
+    """Serialize an array as NIfTI-1 single-file bytes (optionally gzipped)."""
     arr = np.asarray(arr)
     if arr.dtype not in _CODES:
         raise ValueError(f"unsupported dtype {arr.dtype}")
@@ -125,10 +138,12 @@ def write_nifti(path: str | Path, arr: np.ndarray) -> None:
     struct.pack_into("<f", hdr, 112, 1.0)    # scl_slope
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + arr.tobytes(order="F")
+    return gzip.compress(payload, compresslevel=1) if gz else payload
+
+
+def write_nifti(path: str | Path, arr: np.ndarray) -> None:
+    """Write a NIfTI-1 single-file volume (gzipped iff path ends with .gz)."""
     path = str(path)
-    if path.endswith(".gz"):
-        with gzip.open(path, "wb", compresslevel=1) as f:
-            f.write(payload)
-    else:
-        with open(path, "wb") as f:
-            f.write(payload)
+    data = nifti_bytes(arr, gz=path.endswith(".gz"))
+    with open(path, "wb") as f:
+        f.write(data)

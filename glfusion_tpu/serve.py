@@ -167,30 +167,46 @@ class ClipPipeline:
         skipped by the pipeline, matching ``Trainer.infer``.
         """
         from glfusion_tpu.data.nifti import read_nifti
+
+        cid, paths = item
+        return cid, self.stack_raw_views(
+            {v: read_nifti(p) for v, p in paths.items() if p is not None})
+
+    def stack_raw_views(self, vols_by_view: Dict[str, np.ndarray]):
+        """Raw per-view volumes → the (V, T, H, W, 1) forward input.
+
+        Each volume is a raw uint8-range NIfTI array, (1, H, W, T) (the
+        ``Test_Seg_PAHDataset`` file layout) or bare (H, W, T); it is
+        /255-normalized and re-laid-out, then views are aligned to one
+        common frame count (≤ clip_length) with zeros for missing views
+        (``align_views`` — the same rule as eval). Returns ``None`` when
+        no requested view is present. Also the HTTP endpoint's decode.
+        """
         from glfusion_tpu.data.pipeline import align_views
 
-        views = tuple(self.cfg.model.views)
-        cid, paths = item
         vols = []
-        for view in views:
-            p = paths.get(view)
-            if p is None:
+        for view in self.cfg.model.views:
+            raw = vols_by_view.get(view)
+            if raw is None:
                 vols.append(None)
                 continue
-            vol = np.asarray(read_nifti(p), np.float32) / 255.0
-            # accept (1, H, W, T) (the Test_Seg_PAHDataset file layout) or
-            # a bare (H, W, T); an unconditional squeeze() would also
-            # collapse T on single-frame clips and scramble the axes
+            vol = np.asarray(raw, np.float32) / 255.0
+            # an unconditional squeeze() would also collapse T on
+            # single-frame clips and scramble the axes
             if vol.ndim == 4 and vol.shape[0] == 1:
                 vol = vol[0]
             if vol.ndim == 2:
                 vol = vol[..., None]  # single frame: (H, W) → (H, W, 1)
+            if vol.ndim != 3:
+                raise ValueError(
+                    f"view {view}: expected (H, W, T) or (1, H, W, T) "
+                    f"volume, got shape {np.asarray(raw).shape}")
             vols.append(np.moveaxis(vol, -1, 0)[..., None])  # (T, H, W, 1)
         # trim to the true common frame count so _pad_clip records it and
         # the yielded prediction is trimmed back (a short clip must not
         # come out with predictions over its zero-padding frames)
         images, _ = align_views(vols, self.cfg.data.clip_length)
-        return cid, images
+        return images
 
     def predict_one(self, images: np.ndarray) -> np.ndarray:
         """Serial single-clip prediction (no pipelining): uint8 masks."""
