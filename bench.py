@@ -78,7 +78,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16",
 
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
-              fuse_passes: bool = False,
+              fuse_passes: bool = False, grad_accum: int = 1,
               remat: bool = True, stem_pallas: bool = False,
               sup_remat: "bool | None" = None,
               compiler_options: "dict | None | str" = "default"):
@@ -122,16 +122,18 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
         train=dataclasses.replace(cfg.train, batch_size=batch,
                                   cycle_light=cycle_light,
-                                  fuse_passes=fuse_passes))
+                                  fuse_passes=fuse_passes,
+                                  grad_accum=grad_accum))
     model = GlobalAndLocal(cfg.model)
     v = cfg.model.num_views
     r, c = cfg.data.resize_hw, cfg.data.crop_hw
     rs = np.random.RandomState(0)
+    n = batch * grad_accum  # one update consumes batch·grad_accum frames
     batch_arrays = {
-        "images_raw": jnp.asarray(rs.rand(v, batch, r, r) * 255,
+        "images_raw": jnp.asarray(rs.rand(v, n, r, r) * 255,
                                   jnp.float32),
         "masks_raw": jnp.asarray(
-            rs.randint(0, 3, (v, batch, r, r)), jnp.int32),
+            rs.randint(0, 3, (v, n, r, r)), jnp.int32),
         "clips": jnp.asarray(rs.rand(v, clip_length, c, c, 1) * 255,
                              jnp.float32),
     }

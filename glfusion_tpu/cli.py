@@ -85,6 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "ONE merged backbone pass per step (cycle-light "
                         "head semantics; merged-batch BN moments — see "
                         "TrainConfig.fuse_passes)")
+    p.add_argument("--grad-accum", type=int, default=1,
+                   help="gradient accumulation: one Adam update per this "
+                        "many supervised microbatches of --batch-size "
+                        "(exact big-batch gradient under the sum-reduction "
+                        "loss; cycle clip once per update — see "
+                        "TrainConfig.grad_accum)")
     p.add_argument("--save-dir", default="./result/ckpt")
     p.add_argument("--log-dir", default="./result/log_info/log_01")
     p.add_argument("--resume", action="store_true",
@@ -222,6 +228,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
             dense_cyc=args.dense_cyc,
             cycle_light=args.cycle_light,
             fuse_passes=args.fuse_passes,
+            grad_accum=args.grad_accum,
             temporal=temporal,
             save_dir=args.save_dir,
             log_dir=args.log_dir,

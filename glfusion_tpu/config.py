@@ -176,6 +176,21 @@ class TrainConfig:
     cycle_offset: int = 2
     cycle_chunk: int = 3
     cycle_temperature: float = 10.0
+    # Gradient accumulation: one optimizer update per `grad_accum`
+    # supervised microbatches of `batch_size` — the loader yields
+    # batch_size·grad_accum frames per view and the train step scans the
+    # microbatches, summing gradients before a single Adam update. Under
+    # the sum-reduction BCE (main.py:87) the accumulated gradient is
+    # EXACTLY the gradient of one batch_size·grad_accum batch, except BN
+    # batch moments, which are per-microbatch (the same per-shard moments
+    # the reference's DataParallel computed per GPU, main.py:155). The
+    # cycle clip pass runs once per update (the reference's step = one
+    # supervised batch + ONE clip regardless of batch size,
+    # main.py:193-237). Use to train effective batches whose activations
+    # exceed one chip's HBM: batch 32 + 40-frame clips OOMs a v5e chip,
+    # --grad-accum 4 runs it (BASELINE.md). Exclusive of fuse_passes
+    # (that knob merges everything into one pass; this one splits).
+    grad_accum: int = 1
     # checkpointing / logging
     save_dir: str = "./result/ckpt"
     log_dir: str = "./result/log_info/log_01"

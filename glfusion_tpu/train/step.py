@@ -88,6 +88,13 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
             raise ValueError("fuse_passes runs one merged pass; "
                              "remat_supervised=False (a separate "
                              "supervised-pass module) cannot apply")
+    accum = int(tc.grad_accum)
+    if accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {accum}")
+    if accum > 1 and tc.fuse_passes:
+        raise ValueError("grad_accum > 1 is exclusive of fuse_passes: one "
+                         "knob merges the passes into a single forward, the "
+                         "other splits them (see TrainConfig.grad_accum)")
     view_ids = None
     if fuse_preprocess:
         from glfusion_tpu.data.pipeline import view_ids_tuple
@@ -196,6 +203,142 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
         metrics = {"loss": total, "seg_loss": seg_loss, "cyc_loss": cyc_loss,
                    **counts}
         return state, metrics
+
+    if accum > 1:
+        # Gradient accumulation (TrainConfig.grad_accum): the batch carries
+        # batch_size·accum frames per view; a lax.scan runs the supervised
+        # forward/backward per microbatch, summing gradients, then the
+        # cycle clip pass contributes its gradient ONCE, and a single
+        # optimizer update applies. Under the sum-reduction BCE the summed
+        # gradient equals the full-batch gradient exactly; only BN batch
+        # moments are per-microbatch (= the reference DataParallel's
+        # per-GPU moments, main.py:155). BN running stats thread
+        # microbatch→microbatch→cycle, matching the sequential module
+        # calls of `accum` reference steps.
+        def train_step(state: TrainState, batch: Dict[str, Any],  # noqa: F811
+                       rng: jax.Array):
+            rng_drop, rng_cyc_drop, rng_cyc = jax.random.split(rng, 3)
+            if fuse_preprocess:
+                from glfusion_tpu.data.pipeline import _preprocess_core
+                rng_pre, rng_drop = jax.random.split(rng_drop)
+                pre = _preprocess_core(
+                    rng_pre, batch["images_raw"], batch["masks_raw"],
+                    crop_hw=cfg.data.crop_hw, is_train=True,
+                    view_ids=view_ids)
+                batch = dict(batch, **pre)
+
+            n = batch["images"].shape[1]
+            if n % accum:
+                raise ValueError(
+                    f"batch of {n} frames/view does not divide into "
+                    f"grad_accum={accum} microbatches")
+            mb = n // accum
+
+            def split_mb(x):
+                # (V, accum·mb, ...) -> (accum, V, mb, ...); microbatch a
+                # is the contiguous slice [a·mb:(a+1)·mb] of the batch axis
+                return jnp.moveaxis(
+                    x.reshape((x.shape[0], accum, mb) + x.shape[2:]), 1, 0)
+
+            def sup_loss_fn(params, bstats, images, masks, rng_d):
+                out, upd = (sup_model or model).apply(
+                    {"params": params, "batch_stats": bstats},
+                    images, True, mutable=["batch_stats"],
+                    rngs={"dropout": rng_d})
+                seg = 0.0
+                for vi in test_idx:
+                    seg += bce_with_logits_sum(out["mask"][vi], masks[vi])
+                if cps:
+                    pseudo1 = jax.lax.stop_gradient(
+                        (out["mask"] > 0.0).astype(masks.dtype))
+                    pseudo2 = jax.lax.stop_gradient(
+                        (out["mask_2"] > 0.0).astype(masks.dtype))
+                    cps_loss = 0.0
+                    for vi in test_idx:
+                        seg += bce_with_logits_sum(out["mask_2"][vi],
+                                                   masks[vi])
+                        cps_loss += bce_with_logits_sum(out["mask"][vi],
+                                                        pseudo2[vi])
+                        cps_loss += bce_with_logits_sum(out["mask_2"][vi],
+                                                        pseudo1[vi])
+                    seg += tc.cps_weight * cps_loss
+                return seg, (upd["batch_stats"], out["mask"])
+
+            def scan_body(carry, xs):
+                bstats, gacc, segacc, cacc = carry
+                images, masks, a = xs
+
+                def f(p):
+                    return sup_loss_fn(p, bstats, images, masks,
+                                       jax.random.fold_in(rng_drop, a))
+
+                (seg, (bstats, logits)), g = (
+                    jax.value_and_grad(f, has_aux=True)(state.params))
+                pred = (logits > 0.0).astype(jnp.float32)
+                cnt = confusion_counts(pred, masks,
+                                       axis=tuple(range(1, logits.ndim)))
+                return (bstats,
+                        jax.tree_util.tree_map(jnp.add, gacc, g),
+                        segacc + seg,
+                        jax.tree_util.tree_map(jnp.add, cacc, cnt)), None
+
+            nviews = batch["images"].shape[0]
+            zero_counts = {k: jnp.zeros((nviews,), jnp.float32)
+                           for k in ("tp", "fp", "fn", "tn")}
+            init = (state.batch_stats,
+                    jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                    jnp.float32(0.0), zero_counts)
+            (bstats, grads, seg_loss, counts), _ = jax.lax.scan(
+                scan_body, init,
+                (split_mb(batch["images"]), split_mb(batch["masks"]),
+                 jnp.arange(accum)))
+
+            cyc_loss = jnp.float32(0.0)
+            if tc.use_cycle and "clips" in batch:
+                def cyc_fn(p):
+                    light = ({"features_only": True}
+                             if tc.cycle_light else {})
+                    if tc.temporal:
+                        light["is_video"] = True
+                    out2, upd2 = model.apply(
+                        {"params": p, "batch_stats": bstats},
+                        batch["clips"], True, mutable=["batch_stats"],
+                        rngs={"dropout": rng_cyc_drop}, **light)
+                    feat = jnp.sum(out2["f4_global"], axis=(2, 3))
+                    kw = dict(target_region=tc.cycle_target_region,
+                              cyc_off=tc.cycle_offset, chunk=tc.cycle_chunk,
+                              temperature=tc.cycle_temperature)
+                    cyc = jnp.float32(0.0)
+                    for vi in range(len(views)):
+                        if tc.dense_cyc:
+                            cyc += dense_seg_cycle_loss(feat[vi], **kw)
+                        else:
+                            cyc += seg_cycle_loss(
+                                jax.random.fold_in(rng_cyc, vi), feat[vi],
+                                **kw)
+                    return tc.cycle_weight * cyc, (upd2["batch_stats"], cyc)
+
+                (wcyc, (bstats, cyc_loss)), gcyc = (
+                    jax.value_and_grad(cyc_fn, has_aux=True)(state.params))
+                grads = jax.tree_util.tree_map(jnp.add, grads, gcyc)
+                total = seg_loss + wcyc
+            else:
+                total = seg_loss
+
+            if tc.checkify:
+                from jax.experimental import checkify
+                gnorm = jnp.sqrt(sum(
+                    jnp.sum(jnp.square(g.astype(jnp.float32)))
+                    for g in jax.tree_util.tree_leaves(grads)))
+                checkify.check(jnp.isfinite(total),
+                               "non-finite training loss {loss}", loss=total)
+                checkify.check(jnp.isfinite(gnorm),
+                               "non-finite gradient norm {gnorm}",
+                               gnorm=gnorm)
+            state = state.apply_gradients(grads=grads, batch_stats=bstats)
+            metrics = {"loss": total, "seg_loss": seg_loss,
+                       "cyc_loss": cyc_loss, **counts}
+            return state, metrics
 
     if cfg.train.checkify:
         # functional sanitizer (reference main.py:37

@@ -112,8 +112,11 @@ class Trainer:
             lambda r: self.model.init(r, sample, False))(rng)
         variables = shard_variables(variables, self.mesh)
 
+        # one optimizer update consumes batch_size·grad_accum frames/view
+        # (TrainConfig.grad_accum) — the cosine schedule steps per UPDATE
         self.steps_per_epoch = max(
-            len(self.train_loader) // cfg.train.batch_size, 1)
+            len(self.train_loader)
+            // (cfg.train.batch_size * cfg.train.grad_accum), 1)
         self.state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables["params"],
@@ -287,7 +290,8 @@ class Trainer:
         agg = None
         steps = 0
         for host_batch in prefetch(
-                self.train_loader.batches(cfg.train.batch_size, epoch)):
+                self.train_loader.batches(
+                    cfg.train.batch_size * cfg.train.grad_accum, epoch)):
             self.rng, r_step = jax.random.split(self.rng)
             # raw batch; preprocessing runs inside the fused train step
             batch = {"images_raw": self._stage(host_batch["images_raw"]),
