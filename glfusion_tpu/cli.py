@@ -361,6 +361,14 @@ def main(argv=None) -> int:
             "error: --mode export found no weights to bake into the "
             "artifact (no checkpoint under --save-dir and no --torch-ckpt);"
             " exporting a random-init model is never what you want")
+    if (args.mode == "serve" and args.from_export is None
+            and not restored):
+        # same guard as export: a serving endpoint that comes up healthy
+        # on random-init weights returns garbage masks with no warning
+        raise SystemExit(
+            "error: --mode serve found no weights (no checkpoint under "
+            "--save-dir, no --torch-ckpt, no --from-export); train first "
+            "or point at a checkpoint/export")
 
     if args.mode == "train":
         trainer.train()

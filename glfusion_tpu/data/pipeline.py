@@ -40,11 +40,13 @@ def _resize_nearest_np(x: np.ndarray, out_hw: tuple[int, int]) -> np.ndarray:
     return x[hi][:, wi]
 
 
-_MISS = object()
+MISS = object()
 
 
-class _ByteLRU:
+class ByteLRU:
     """Byte-bounded LRU of numpy entries (None values cost 0 bytes).
+
+    Public: the trainer's eval-clip cache reuses it.
 
     The clip loaders cached decoded volumes in plain unbounded dicts —
     fine for the 178-patient corpus, a host-OOM hazard beyond it; this
@@ -68,7 +70,7 @@ class _ByteLRU:
                        if hasattr(a, "nbytes"))
         return v.nbytes
 
-    def get(self, key, default=_MISS):
+    def get(self, key, default=MISS):
         if key in self._d:
             self._d.move_to_end(key)
             return self._d[key]
@@ -344,7 +346,7 @@ class AlignedClipLoader:
         self.views = tuple(views)
         self.cfg = cfg
         self.seed = seed
-        self._cache = _ByteLRU(cache_bytes)
+        self._cache = ByteLRU(cache_bytes)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -352,7 +354,7 @@ class AlignedClipLoader:
     def _load_clip(self, pid: str, view: str) -> np.ndarray | None:
         key = (pid, view)
         hit = self._cache.get(key)
-        if hit is not _MISS:
+        if hit is not MISS:
             return hit
         img_p, _ = self.index.view_paths(pid, view)
         if img_p is None:
@@ -464,7 +466,7 @@ class RegressionClipLoader:
             and index.records[i].get(label_type) is not None
             and not np.isnan(index.records[i][label_type])
         ]
-        self._cache = _ByteLRU(4 << 30)
+        self._cache = ByteLRU(4 << 30)
 
     def __len__(self) -> int:
         return len(self.ids)
@@ -472,7 +474,7 @@ class RegressionClipLoader:
     def _load(self, pid: str, view: str, t: int, r: int):
         key = (pid, view)
         hit = self._cache.get(key)
-        if hit is not _MISS:
+        if hit is not MISS:
             return hit
         img_p, _ = self.index.view_paths(pid, view)
         if img_p is None:

@@ -131,7 +131,7 @@ def serve_http(trainer, host: str = "127.0.0.1", port: int = 8000,
     serve until interrupted."""
     import jax
 
-    from glfusion_tpu.serve import ClipPipeline
+    from glfusion_tpu.serve import ClipPipeline, export_pipeline_kwargs
 
     if jax.process_count() > 1:
         raise ValueError(
@@ -140,14 +140,11 @@ def serve_http(trainer, host: str = "127.0.0.1", port: int = 8000,
     cfg = trainer.cfg
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
-    forward = None
-    expected_hw = None
-    if from_export is not None:
-        from glfusion_tpu.utils.model_export import load_serving_forward
-        forward, meta = load_serving_forward(from_export)
-        expected_hw = (meta or {}).get("input_hw")
-    pipe = ClipPipeline(cfg, trainer.model, variables, forward=forward,
-                        expected_hw=expected_hw)
+    # same validation as the batch path (views/num_classes mismatch must
+    # be a startup error, not a per-request opaque 500)
+    export_kwargs = ({} if from_export is None
+                     else export_pipeline_kwargs(from_export, cfg))
+    pipe = ClipPipeline(cfg, trainer.model, variables, **export_kwargs)
     server = make_http_server(pipe, host=host, port=port)
     server.verbose = verbose
     addr = server.server_address

@@ -45,7 +45,7 @@ class ClipPipeline:
     def __init__(self, cfg: Config, model, variables: Dict[str, Any],
                  depth: int = 2, threads: int = 2,
                  forward: Any = None, pad_clips: bool = None,
-                 expected_hw: int = None):
+                 expected_hw: int = None, pad_to: int = None):
         self.cfg = cfg
         self.model = model
         self.variables = variables
@@ -53,11 +53,15 @@ class ClipPipeline:
         self.threads = max(1, threads)
         # a live jit compiles once per shape → pad every clip to
         # clip_length; an AOT export with a symbolic frame axis runs the
-        # true frame count directly (no wasted compute on padding frames)
+        # true frame count directly (no wasted compute on padding frames).
+        # An export with a PINNED frame axis must pad back on (callers use
+        # export_pipeline_kwargs, which reads meta['symbolic_frames']).
         self._pad_clips = (forward is None) if pad_clips is None else pad_clips
         # AOT exports pin the spatial size; check per clip with a clear
         # error instead of a raw XLA shape mismatch
         self._expected_hw = expected_hw
+        # pad/trim target; a frames-pinned export overrides clip_length
+        self._pad_to = pad_to
 
         if forward is not None:
             # pre-built serving forward — e.g. a deserialized AOT export
@@ -94,7 +98,7 @@ class ClipPipeline:
                 f"AOT export's pinned {self._expected_hw}²: serve clips at "
                 f"the exported size, re-export with --export-hw, or serve "
                 f"the live checkpoint (no --from-export)")
-        t_fix = self.cfg.data.clip_length
+        t_fix = self._pad_to or self.cfg.data.clip_length
         t = images.shape[1]
         if t > t_fix:
             return images[:, :t_fix], t_fix
@@ -205,7 +209,8 @@ class ClipPipeline:
         # trim to the true common frame count so _pad_clip records it and
         # the yielded prediction is trimmed back (a short clip must not
         # come out with predictions over its zero-padding frames)
-        images, _ = align_views(vols, self.cfg.data.clip_length)
+        images, _ = align_views(vols,
+                                self._pad_to or self.cfg.data.clip_length)
         return images
 
     def predict_one(self, images: np.ndarray) -> np.ndarray:
@@ -220,6 +225,42 @@ class ClipPipeline:
     ) -> Iterator[Tuple[str, np.ndarray]]:
         """Serve from NIfTI paths: ``(clip_id, {view: image_path})``."""
         return self.predict_iter(clips, self.decode_paths)
+
+
+def export_pipeline_kwargs(from_export: str, cfg: Config) -> Dict[str, Any]:
+    """Load + validate a saved AOT export against this run's config.
+
+    Shared by ``--mode serve`` (batch) and the HTTP endpoint so both
+    reject an incompatible artifact with the same clear errors instead of
+    opaque XLA shape mismatches (or, worse for num_classes, silently
+    wrong-channel masks). Returns :class:`ClipPipeline` kwargs:
+    ``forward``, ``expected_hw``, and — when the export's frame axis is
+    PINNED rather than symbolic — ``pad_clips=True`` + ``pad_to`` so
+    short clips are padded to exactly the exported frame count (the
+    deserialized artifact accepts no other length).
+    """
+    from glfusion_tpu.utils.model_export import load_serving_forward
+
+    forward, meta = load_serving_forward(from_export)
+    meta = meta or {}
+    if meta.get("views") and list(meta["views"]) != list(cfg.model.views):
+        raise ValueError(
+            f"export {from_export} was built for views {meta['views']} "
+            f"but this run is configured for {list(cfg.model.views)}")
+    if meta.get("num_classes") not in (None, cfg.model.num_classes):
+        raise ValueError(
+            f"export {from_export} predicts {meta['num_classes']} "
+            f"classes but this run is configured for "
+            f"{cfg.model.num_classes}")
+    symbolic = meta.get("symbolic_frames", True)
+    return {
+        "forward": forward,
+        "expected_hw": meta.get("input_hw") or meta.get("crop_hw"),
+        "pad_clips": not symbolic,
+        # older artifacts lack meta['frames']; clip_length is the export
+        # default so the fallback matches
+        "pad_to": None if symbolic else meta.get("frames"),
+    }
 
 
 def serve_test_clips(trainer, out_dir: str = "./predictions",
@@ -249,27 +290,10 @@ def serve_test_clips(trainer, out_dir: str = "./predictions",
     cfg = trainer.cfg
     variables = {"params": trainer.state.params,
                  "batch_stats": trainer.state.batch_stats}
-    forward = None
-    expected_hw = None
-    if from_export is not None:
-        from glfusion_tpu.utils.model_export import load_serving_forward
-        forward, meta = load_serving_forward(from_export)
-        if meta and meta.get("views") and list(meta["views"]) != list(
-                cfg.model.views):
-            raise ValueError(
-                f"export {from_export} was built for views {meta['views']} "
-                f"but this run is configured for {list(cfg.model.views)}")
-        if meta and meta.get("num_classes") not in (None,
-                                                    cfg.model.num_classes):
-            raise ValueError(
-                f"export {from_export} predicts {meta['num_classes']} "
-                f"classes but this run is configured for "
-                f"{cfg.model.num_classes}")
-        expected_hw = (meta or {}).get("input_hw") or (meta or {}).get(
-            "crop_hw")
+    export_kwargs = ({} if from_export is None
+                     else export_pipeline_kwargs(from_export, cfg))
     pipe = ClipPipeline(cfg, trainer.model, variables,
-                        depth=depth, threads=threads, forward=forward,
-                        expected_hw=expected_hw)
+                        depth=depth, threads=threads, **export_kwargs)
     ids = sorted(trainer.test_infos.keys())
     clips = [(cid, dict(trainer.test_infos[cid]["views_images"]))
              for cid in ids]

@@ -142,8 +142,8 @@ class Trainer:
         # decoded test clips are static across epochs: cache them so the
         # per-epoch validations don't re-decode the same NIfTIs (~6k
         # decodes over a default 100-epoch run otherwise)
-        from glfusion_tpu.data.pipeline import _ByteLRU
-        self._eval_clip_cache = _ByteLRU(1 << 30)
+        from glfusion_tpu.data.pipeline import ByteLRU
+        self._eval_clip_cache = ByteLRU(1 << 30)
         self.epoch = 0
         log_dir = Path(cfg.train.log_dir)
         if self._lead:
@@ -407,7 +407,7 @@ class Trainer:
         v = cfg.model.num_views
         # accumulate on device; one transfer at the end (high-latency
         # transports make per-clip fetches the bottleneck)
-        from glfusion_tpu.data.pipeline import _MISS
+        from glfusion_tpu.data.pipeline import MISS
         from glfusion_tpu.data.prefetch import prefetch
 
         def cached_clips():
@@ -415,7 +415,7 @@ class Trainer:
                 if cid not in self.test_infos:
                     continue
                 clip = self._eval_clip_cache.get(cid)
-                if clip is _MISS:
+                if clip is MISS:
                     loader = TestClipLoader(self.test_infos, [cid],
                                             cfg.model.views,
                                             cfg.data.clip_length)

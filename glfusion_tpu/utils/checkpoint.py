@@ -40,12 +40,39 @@ from typing import Optional, Tuple
 _ORBAX_OK: Optional[bool] = None
 
 
+def _probe_stamp_path() -> Optional[Path]:
+    """Stamp file recording a successful probe, keyed on the install.
+
+    ``find_spec`` locates the package without executing it (so a damaged
+    .so cannot hurt us here); the origin path + mtime key invalidates the
+    stamp when orbax is reinstalled. Only SUCCESS is persisted — a failed
+    probe may be transient (subprocess timeout on a loaded host) and must
+    not poison later processes.
+    """
+    import importlib.util
+    try:
+        spec = importlib.util.find_spec("orbax.checkpoint")
+    except Exception:
+        return None
+    if spec is None or not spec.origin:
+        return None
+    key = f"{spec.origin}:{os.path.getmtime(spec.origin)}"
+    cache_dir = Path(os.environ.get(
+        "GLFUSION_JIT_CACHE_DIR",
+        os.path.expanduser("~/.cache/glfusion_jax")))
+    import hashlib
+    h = hashlib.sha256(key.encode()).hexdigest()[:16]
+    return cache_dir / f"orbax_probe_ok_{h}"
+
+
 def _orbax_available() -> bool:
     """Probe ``import orbax.checkpoint`` in a subprocess (cached).
 
     A direct in-process import of a damaged install can die with SIGBUS
     (mmap'd .so pages backed by unreadable disk sectors) — uncatchable.
-    The subprocess absorbs the crash and reports via exit code.
+    The subprocess absorbs the crash and reports via exit code. A
+    successful probe is stamped under the package cache dir so later
+    processes skip the multi-second subprocess import entirely.
     """
     global _ORBAX_OK
     if _ORBAX_OK is None:
@@ -55,17 +82,29 @@ def _orbax_available() -> bool:
         elif forced == "flax":
             _ORBAX_OK = False
         else:
-            try:
-                proc = subprocess.run(
-                    [sys.executable, "-c",
-                     "import orbax.checkpoint"],
-                    stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-                    timeout=120,
-                    env={**os.environ, "JAX_PLATFORMS": "cpu"},
-                )
-                _ORBAX_OK = proc.returncode == 0
-            except Exception:
-                _ORBAX_OK = False
+            stamp = _probe_stamp_path()
+            if stamp is None:
+                _ORBAX_OK = False  # find_spec says orbax is not installed
+            elif stamp.exists():
+                _ORBAX_OK = True
+            else:
+                try:
+                    proc = subprocess.run(
+                        [sys.executable, "-c",
+                         "import orbax.checkpoint"],
+                        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                        timeout=120,
+                        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+                    )
+                    _ORBAX_OK = proc.returncode == 0
+                except Exception:
+                    _ORBAX_OK = False
+                if _ORBAX_OK:
+                    try:
+                        stamp.parent.mkdir(parents=True, exist_ok=True)
+                        stamp.touch()
+                    except OSError:
+                        pass
     return _ORBAX_OK
 
 
@@ -127,13 +166,18 @@ class _FlaxBackend:
                 "(GLFUSION_CKPT_BACKEND=orbax on a healthy install)")
         self.directory = directory
         self.directory.mkdir(parents=True, exist_ok=True)
-        (self.directory / _FLAX_MARKER).touch()
         self._max_to_keep = max_to_keep
         self._lock = threading.Lock()
         self._pending: list = []
+        self._error: Optional[BaseException] = None
 
     def _write(self, host_payload: dict, epoch: int) -> None:
         from flax import serialization
+        # The format marker is written with the FIRST actual flax save —
+        # not at construction — so a backend instance created by a
+        # transient orbax probe failure cannot flip an existing orbax
+        # directory to flax before any flax data exists.
+        (self.directory / _FLAX_MARKER).touch()
         data = serialization.to_bytes(host_payload)
         tmp = self.directory / f".tmp_epoch_{epoch:05d}"
         final = self.directory / f"epoch_{epoch:05d}"
@@ -168,18 +212,30 @@ class _FlaxBackend:
             t.join()
         try:
             self._write(host, epoch)
+        except BaseException as e:  # surfaced by the next wait()
+            with self._lock:
+                if self._error is None:
+                    self._error = e
         finally:
             with self._lock:
                 self._pending.remove(threading.current_thread())
 
     def wait(self) -> None:
+        """Block until all queued saves are durable; re-raise the first
+        writer-thread failure (matching orbax's wait_until_finished —
+        a full disk must not let a run 'complete' with no checkpoints)."""
         while True:
             with self._lock:
                 pending = list(self._pending)
             if not pending:
-                return
+                break
             for t in pending:
                 t.join()
+        with self._lock:
+            err, self._error = self._error, None
+        if err is not None:
+            raise RuntimeError(
+                f"async checkpoint save failed: {err!r}") from err
 
     def _scan_steps(self) -> list:
         steps = []

@@ -107,6 +107,9 @@ def save_exported(exported, path: str, cfg: Config) -> Dict[str, Any]:
         "num_classes": cfg.model.num_classes,
         "platforms": list(exported.platforms),
         "symbolic_frames": not isinstance(in_shape[1], (int, np.integer)),
+        # the pinned frame count when not symbolic (serving pads to it)
+        "frames": (int(in_shape[1])
+                   if isinstance(in_shape[1], (int, np.integer)) else None),
         "jax_version": jax.__version__,
         "serialized_bytes": len(blob),
     }

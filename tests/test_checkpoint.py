@@ -114,7 +114,8 @@ def test_env_override_beats_flax_marker(tmp_path, flax_backend, monkeypatch):
     """GLFUSION_CKPT_BACKEND=orbax must win over a stale flax marker —
     it is the documented remedy when a transient probe failure wrote the
     marker into an orbax checkpoint directory."""
-    CheckpointManager(str(tmp_path / "d"))  # writes the marker (flax forced)
+    cm0 = CheckpointManager(str(tmp_path / "d"))  # flax forced by fixture
+    cm0.save(_state(1.0), 0, wait=True)  # first SAVE writes the marker
     assert (tmp_path / "d" / "GLFUSION_FLAX_CKPT").exists()
     monkeypatch.setenv("GLFUSION_CKPT_BACKEND", "orbax")
     monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
@@ -169,3 +170,55 @@ def test_orbax_roundtrip_when_available(tmp_path):
     r, nxt = cm.restore_latest(_state(0.0))
     assert nxt == 3
     np.testing.assert_allclose(np.asarray(r.params["w"]), 3.0)
+
+
+def test_flax_wait_reraises_write_failure(tmp_path, flax_backend):
+    """A writer-thread failure (e.g. ENOSPC) must surface from wait() —
+    matching orbax's wait_until_finished — instead of letting a run
+    'complete' with zero durable checkpoints."""
+    cm = CheckpointManager(str(tmp_path / "ck"))
+    orig_write = cm._impl._write
+
+    def boom(host, epoch):
+        raise OSError("disk full")
+
+    cm._impl._write = boom
+    cm.save(_state(1.0), 0)
+    with pytest.raises(RuntimeError, match="disk full"):
+        cm.wait()
+    # the failure is one-shot: once surfaced, healthy saves work again
+    cm._impl._write = orig_write
+    cm.save(_state(2.0), 1)
+    cm.wait()
+    assert cm.all_steps() == [1]
+
+
+def test_flax_marker_written_on_first_save_not_construction(
+        tmp_path, flax_backend):
+    """Constructing the flax backend (e.g. after a TRANSIENT orbax probe
+    failure) must not flip an existing directory to flax format; only an
+    actual flax save writes the marker."""
+    d = tmp_path / "ck"
+    cm = CheckpointManager(str(d))
+    assert not (d / "GLFUSION_FLAX_CKPT").exists()
+    cm.save(_state(1.0), 0)
+    cm.wait()
+    assert (d / "GLFUSION_FLAX_CKPT").exists()
+
+
+def test_orbax_probe_stamp_skips_subprocess(tmp_path, monkeypatch):
+    """A prior successful probe is stamped under the package cache dir so
+    later processes skip the multi-second subprocess import."""
+    monkeypatch.delenv("GLFUSION_CKPT_BACKEND", raising=False)
+    monkeypatch.setenv("GLFUSION_JIT_CACHE_DIR", str(tmp_path / "cache"))
+    monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
+    stamp = ckpt_mod._probe_stamp_path()
+    assert stamp is not None  # orbax is installed in the test env
+    stamp.parent.mkdir(parents=True, exist_ok=True)
+    stamp.touch()
+
+    def no_subprocess(*a, **k):
+        raise AssertionError("stamped probe must skip the subprocess")
+
+    monkeypatch.setattr(ckpt_mod.subprocess, "run", no_subprocess)
+    assert ckpt_mod._orbax_available() is True

@@ -156,3 +156,64 @@ def test_clip_pipeline_from_export_matches_live(tiny_model, tmp_path):
     assert got_live.keys() == got_aot.keys()
     for cid in got_live:
         np.testing.assert_array_equal(got_live[cid], got_aot[cid])
+
+
+def test_pinned_frames_export_pads_short_clips(tiny_model, tmp_path):
+    """A frames-PINNED export accepts exactly one clip length, so the
+    pipeline must pad short clips back up to it (meta['symbolic_frames']
+    False + meta['frames'] drive export_pipeline_kwargs) — and trim the
+    prediction to the true frame count."""
+    from glfusion_tpu.serve import ClipPipeline, export_pipeline_kwargs
+
+    cfg, model, variables = tiny_model
+    t_pin = cfg.data.clip_length
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",), frames=t_pin)
+    meta = save_exported(exported, str(tmp_path / "pinned"), cfg)
+    assert meta["symbolic_frames"] is False and meta["frames"] == t_pin
+
+    kwargs = export_pipeline_kwargs(str(tmp_path / "pinned"), cfg)
+    assert kwargs["pad_clips"] is True and kwargs["pad_to"] == t_pin
+    pipe = ClipPipeline(cfg, model, variables, **kwargs)
+    hw, v = cfg.data.crop_hw, cfg.model.num_views
+    t_short = max(1, t_pin - 2)
+    x = np.random.RandomState(0).rand(v, t_short, hw, hw, 1).astype(
+        np.float32)
+    out = pipe.predict_one(x)  # would raise a shape error without padding
+    assert out.shape == (v, t_short, hw, hw, cfg.model.num_classes)
+    # ...and matches the live forward on the true frames
+    live = ClipPipeline(cfg, model, variables)
+    np.testing.assert_array_equal(out, live.predict_one(x))
+
+
+def test_export_pipeline_kwargs_validates(tiny_model, tmp_path):
+    """Both serving entry points (batch + HTTP) share one validation:
+    views / num_classes mismatches fail at startup with a clear error."""
+    import dataclasses
+
+    from glfusion_tpu.serve import export_pipeline_kwargs
+
+    cfg, model, variables = tiny_model
+    exported = export_serving_forward(cfg, model, variables,
+                                      platforms=("cpu",))
+    save_exported(exported, str(tmp_path / "art"), cfg)
+
+    bad_views = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, views=("1", "2")))
+    with pytest.raises(ValueError, match="views"):
+        export_pipeline_kwargs(str(tmp_path / "art"), bad_views)
+    bad_classes = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, num_classes=7))
+    with pytest.raises(ValueError, match="classes"):
+        export_pipeline_kwargs(str(tmp_path / "art"), bad_classes)
+
+
+def test_cli_serve_refuses_random_weights(tmp_path):
+    """--mode serve with no checkpoint, no --torch-ckpt and no
+    --from-export must refuse (a healthy-looking endpoint on random-init
+    weights silently returns garbage masks)."""
+    from glfusion_tpu.cli import main
+
+    with pytest.raises(SystemExit, match="no weights"):
+        main(["--mode", "serve", "--tiny", "--platform", "cpu",
+              "--save-dir", str(tmp_path / "empty_ckpt")])
