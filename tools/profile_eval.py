@@ -41,15 +41,23 @@ ITERS = 10
 # HLO metadata op_name fragments → stage buckets. flax scopes surface in
 # the op_name path (e.g. ".../backbone/layer3/blocks_4/conv2/...").
 STAGE_PATTERNS = [
-    ("stem", re.compile(r"stem_conv|stem_bn|init_pool|/stem/")),
-    ("layer1", re.compile(r"/layer1/")),
-    ("layer2", re.compile(r"/layer2/")),
-    ("layer3", re.compile(r"/layer3/")),
-    ("layer4", re.compile(r"/layer4/")),
-    ("aspp_head", re.compile(r"aspp|/head/|deeplab", re.I)),
-    ("tpavi", re.compile(r"tpavi|mgfm|mlfm|nonlocal", re.I)),
-    ("classifier", re.compile(r"classifier|center|final_conv", re.I)),
-    ("resize_glue", re.compile(r"resize|interpolate|gather|iota|slice")),
+    ("stem", re.compile(
+        r"stem_conv|stem_bn|/stem|vmap\(backbone\)/reduce_window_max")),
+    ("layer1", re.compile(r"layer1_block|/layer1\b")),
+    ("layer2", re.compile(r"layer2_block|/layer2\b")),
+    ("layer3", re.compile(r"layer3_block|/layer3\b")),
+    ("layer4", re.compile(r"layer4_block|/layer4\b")),
+    # both DeepLab heads (classifier + centerness), all applications
+    ("aspp_heads", re.compile(
+        r"vmap\(classifier\)|vmap\(centerness\)|aspp|deeplab", re.I)),
+    ("tpavi", re.compile(
+        r"global_attn|local_attn|tpavi|mgfm|mlfm|nonlocal", re.I)),
+    ("resize_glue", re.compile(
+        r"resize|interpolate|iota|convert_element_type")),
+    # bare top-level elementwise (residual adds, sigmoid gates, masking)
+    ("elementwise_glue", re.compile(
+        r"GlobalAndLocal/(add|mul|sub|div|max|min|sigmoid|tanh|exp|"
+        r"rsqrt|select|compare|broadcast)")),
 ]
 
 
@@ -160,8 +168,14 @@ def main() -> int:
         dev_rows += 1
     out["xprof_total_device_ms_per_fwd"] = round(total_ms, 3)
     out["xprof_device_op_rows"] = dev_rows
+    # Through the remote transport extra lazily-dispatched executions can
+    # land inside the trace window, inflating absolute ms; percentages
+    # are robust, and ms_scaled renormalizes each stage to the honestly
+    # measured chained-scan forward time.
+    scale = (t_s * 1e3) / total_ms if total_ms else 0.0
     out["stages"] = {
-        s: {"ms": round(stage_ms[s], 3),
+        s: {"ms_raw": round(stage_ms[s], 3),
+            "ms_scaled": round(stage_ms[s] * scale, 3),
             "pct_of_device": round(100.0 * stage_ms[s] / total_ms, 1)
             if total_ms else 0.0,
             "ops": stage_ops[s]}
