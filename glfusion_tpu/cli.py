@@ -371,7 +371,20 @@ def main(argv=None) -> int:
             "or point at a checkpoint/export")
 
     if args.mode == "train":
-        trainer.train()
+        # Preemption-graceful training: TPU-pod maintenance/spot reclaims
+        # deliver SIGTERM with a grace window — finish the in-flight
+        # epoch, checkpoint it, flush, exit 0 (Trainer.request_stop).
+        import signal
+        import threading
+        if threading.current_thread() is threading.main_thread():
+            prev = signal.signal(signal.SIGTERM,
+                                 lambda signum, frame: trainer.request_stop())
+            try:
+                trainer.train()
+            finally:
+                signal.signal(signal.SIGTERM, prev)
+        else:  # signal.signal is main-thread-only (in-process test drivers)
+            trainer.train()
     elif args.mode == "infer":
         n = trainer.infer(out_dir=args.out_dir)
         print(f"wrote {n} prediction volumes")

@@ -145,6 +145,7 @@ class Trainer:
         from glfusion_tpu.data.pipeline import ByteLRU
         self._eval_clip_cache = ByteLRU(1 << 30)
         self.epoch = 0
+        self._stop_requested = False
         log_dir = Path(cfg.train.log_dir)
         if self._lead:
             log_dir.mkdir(parents=True, exist_ok=True)
@@ -156,6 +157,20 @@ class Trainer:
             self.summary = None
 
     # ------------------------------------------------------------------ api
+
+    def request_stop(self) -> None:
+        """Ask the epoch loop to stop at the next epoch boundary.
+
+        The preemption hook: TPU-pod maintenance events and spot reclaims
+        deliver SIGTERM with a short grace window; the CLI routes it here,
+        so the run finishes the in-flight epoch, checkpoints it (even off
+        the ``save_every`` cadence), flushes, and exits cleanly — a later
+        ``--resume`` continues where it stopped. Signal-handler safe (only
+        sets a flag). The reference has no graceful-shutdown story: a
+        SIGTERM kills it mid-step, and its resume dropped optimizer state
+        anyway (``main.py:869``).
+        """
+        self._stop_requested = True
 
     def load_latest(self) -> bool:
         restored = self.ckpt.restore_latest(self.state)
@@ -244,9 +259,16 @@ class Trainer:
                 if (cfg.train.eval_every_epochs > 0
                         and (epoch + 1) % cfg.train.eval_every_epochs == 0):
                     self.validation_and_test()
-                if (cfg.train.save_every_epochs > 0
-                        and (epoch + 1) % cfg.train.save_every_epochs == 0):
+                saved = (cfg.train.save_every_epochs > 0
+                         and (epoch + 1) % cfg.train.save_every_epochs == 0)
+                if saved:
                     self.ckpt.save(self.state, epoch)  # async; flushed below
+                if self._stop_requested:
+                    if not saved:  # make THIS epoch durable off-cadence
+                        self.ckpt.save(self.state, epoch)
+                    self._log(f"stop requested: checkpointed epoch {epoch}, "
+                              "exiting")
+                    break
         finally:
             self.train_loader.stop_warming()
             # flush even when an exception (OOM, Ctrl-C) escapes the epoch
