@@ -117,7 +117,10 @@ class RegressionTrainer:
         )
         self.train_step = make_regression_train_step(self.model)
         self.eval_step = make_regression_eval_step(self.model)
-        self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        # per-(epoch, step) keys derived by fold_in (not a mutable split
+        # stream): resume from an epoch boundary replays the exact keys of
+        # an uninterrupted run — see Trainer.__init__ for the rationale
+        self._base_rng = jax.random.PRNGKey(cfg.train.seed + 1)
         self.ckpt = CheckpointManager(cfg.train.save_dir,
                                       max_to_keep=cfg.train.ckpt_keep)
         self.epoch = 0
@@ -139,7 +142,8 @@ class RegressionTrainer:
         losses = []
         for host_batch in self.train_loader.batches(cfg.train.batch_size,
                                                     epoch):
-            self.rng, r_pre, r_step = jax.random.split(self.rng, 3)
+            r_pre, r_step = jax.random.split(jax.random.fold_in(
+                jax.random.fold_in(self._base_rng, epoch), len(losses)))
             clips = preprocess_regression_batch(
                 r_pre, jnp.asarray(host_batch["clips_raw"]),
                 crop_hw=cfg.data.crop_hw, is_train=True)

@@ -135,7 +135,17 @@ class Trainer:
                                           cps=self._cps,
                                           sup_model=sup_model)
         self.eval_step = make_eval_step(cfg, self.model)
-        self.rng = jax.random.PRNGKey(cfg.train.seed + 1)
+        # Base RNG for training-time randomness (augmentation crops,
+        # dropout, cycle sampling). Step keys are DERIVED per (epoch, step)
+        # via fold_in rather than split off a mutable stream, so the stream
+        # is a pure function of (seed, epoch, step): a killed run resumed
+        # from an epoch-boundary checkpoint replays the exact keys the
+        # uninterrupted run would have used (tests/test_crash_resume.py
+        # pins bitwise kill+resume == uninterrupted). The reference's
+        # resume has no such property — it reseeds globally once
+        # (loader.py:32-33) and its post-restore draws depend on how many
+        # consumed the stream before the crash (main.py:823-855).
+        self._base_rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
         self.ckpt = CheckpointManager(cfg.train.save_dir,
                                       max_to_keep=cfg.train.ckpt_keep)
@@ -314,7 +324,9 @@ class Trainer:
         for host_batch in prefetch(
                 self.train_loader.batches(
                     cfg.train.batch_size * cfg.train.grad_accum, epoch)):
-            self.rng, r_step = jax.random.split(self.rng)
+            # stateless per-(epoch, step) key: resume-deterministic
+            r_step = jax.random.fold_in(
+                jax.random.fold_in(self._base_rng, epoch), steps)
             # raw batch; preprocessing runs inside the fused train step
             batch = {"images_raw": self._stage(host_batch["images_raw"]),
                      "masks_raw": self._stage(host_batch["masks_raw"])}

@@ -65,14 +65,21 @@ def test_sigkill_mid_training_then_resume(tmp_path):
                                seed=0)
 
     save_dir = tmp_path / "ckpt"
-    base = [
-        sys.executable, "-m", "glfusion_tpu.cli",
-        "--mode", "train", "--tiny", "--platform", "cpu",
-        "--data-root", str(data_root),
-        "--save-every", "1", "--eval-every", "100", "--no-cycle",
-        "--save-dir", str(save_dir), "--log-dir", str(tmp_path / "log"),
-    ]
+
+    def cmd(save_to):
+        return [
+            sys.executable, "-m", "glfusion_tpu.cli",
+            "--mode", "train", "--tiny", "--platform", "cpu",
+            "--data-root", str(data_root),
+            "--save-every", "1", "--eval-every", "100", "--no-cycle",
+            "--save-dir", str(save_to), "--log-dir", str(tmp_path / "log"),
+        ]
+
+    base = cmd(save_dir)
     env = _subprocess_env()
+    # flax backend: each checkpoint is ONE msgpack file, so the bitwise
+    # kill+resume == uninterrupted comparison below is a byte comparison
+    env["GLFUSION_CKPT_BACKEND"] = "flax"
 
     # ---- run 1: ask for many epochs, SIGKILL once a checkpoint is durable
     proc = subprocess.Popen(base + ["--epochs", "50"], cwd=REPO, env=env,
@@ -113,6 +120,24 @@ def test_sigkill_mid_training_then_resume(tmp_path):
     # (and checkpointed) each remaining epoch up to the new target
     assert set(survived) <= set(final)
     assert final[-1] == target_epochs - 1, (survived, final)
+
+    # ---- run 3: resume-trajectory FIDELITY, not just availability. Step
+    # RNG keys are a pure function of (seed, epoch, step) (fold_in, see
+    # Trainer.__init__) and the loaders are epoch-keyed, so the killed+
+    # resumed trajectory must be indistinguishable from an uninterrupted
+    # run: the final checkpoints (params + batch_stats + opt_state, one
+    # msgpack each under the flax backend) agree BYTE FOR BYTE.
+    solo_dir = tmp_path / "ckpt_uninterrupted"
+    out3 = subprocess.run(
+        cmd(solo_dir) + ["--epochs", str(target_epochs)],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert out3.returncode == 0, out3.stdout + out3.stderr
+    last = f"epoch_{target_epochs - 1:05d}"
+    resumed_bytes = (save_dir / last / "state.msgpack").read_bytes()
+    solo_bytes = (solo_dir / last / "state.msgpack").read_bytes()
+    assert resumed_bytes == solo_bytes, (
+        "kill+resume diverged from the uninterrupted trajectory "
+        f"(epoch {target_epochs - 1} checkpoints differ)")
 
 
 def test_sigterm_graceful_epoch_boundary_stop(tmp_path):
