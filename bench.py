@@ -79,7 +79,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16",
 def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               clip_length: int = 40, cycle_light: bool = False,
               fuse_passes: bool = False, grad_accum: int = 1,
-              remat: bool = True, stem_pallas: bool = False,
+              remat: bool = True,
               sup_remat: "bool | None" = None,
               compiler_options: "dict | None | str" = "default"):
     """Seconds per full train step (reference recipe: batch 8 supervised
@@ -117,8 +117,7 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat,
-                                  stem_pallas=stem_pallas),
+        model=dataclasses.replace(cfg.model, dtype=dtype, remat=remat),
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
         train=dataclasses.replace(cfg.train, batch_size=batch,
                                   cycle_light=cycle_light,

@@ -1,13 +1,11 @@
-"""Measure the Pallas fused stem vs the flax stem on TPU.
+"""Measure the Pallas fused stem vs the flax stem on TPU (closed book).
 
-Two levels:
-  1. ISOLATED: the per-view-vmapped stem stage (conv+BN+ReLU+maxpool,
-     train mode) at the 120-frame cycle shape — fwd and fwd+bwd, via the
-     honest chained-scan harness (utils/profiling.time_fn).
-  2. FULL STEP: bench.run_train with stem_pallas on/off (the number that
-     matters — isolated wins have lost here before, BASELINE.md im2col).
+ISOLATED comparison: the per-view-vmapped stem stage (conv+BN+ReLU+maxpool,
+train mode) at the 120-frame cycle shape — fwd and fwd+bwd, via the honest
+chained-scan harness (utils/profiling.time_fn). The historical FULL-STEP
+A/B rows (in-model swap) are recorded in BASELINE.md "stem kernel book".
 
-Usage: python tools/bench_stem_pallas.py [--frames 120] [--full] [--iters 8]
+Usage: python experiments/bench_stem_pallas.py [--frames 120] [--iters 8]
 """
 
 from __future__ import annotations
@@ -25,21 +23,11 @@ import numpy as np
 
 
 def isolated(frames: int, dtype: str, iters: int) -> dict:
-    from flax import linen as nn
-
     from glfusion_tpu.models.glfusion import _per_view
     from glfusion_tpu.models.resnet import IEKDStem
     from glfusion_tpu.utils.profiling import time_fn
 
-    class FusedStem(nn.Module):
-        stem_width: int = 64
-        dtype: str = "float32"
-
-        @nn.compact
-        def __call__(self, x, train: bool):
-            from glfusion_tpu.models.resnet import _stem_fused_pallas
-            return _stem_fused_pallas(self, x, self.stem_width,
-                                      jnp.dtype(self.dtype), train)
+    from experiments.stem_module import FusedIEKDStem as FusedStem
 
     v = 3
     x = jnp.asarray(np.random.RandomState(0).rand(v, frames, 112, 112, 1),
@@ -79,26 +67,16 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=120)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--full", action="store_true",
-                    help="also run the FULL train step A/B (slow compiles)")
-    ap.add_argument("--skip-isolated", action="store_true")
     args = ap.parse_args()
 
+    # NOTE: the historical FULL-STEP A/B (bench.run_train with the stem
+    # swapped in-model) needed the since-removed ModelConfig.stem_pallas
+    # flag; its measured numbers are recorded in BASELINE.md "stem kernel
+    # book". What remains runnable is the isolated-stage comparison.
     print(f"[bench_stem_pallas] platform={jax.devices()[0].platform}",
           flush=True)
-    rec = {}
-    if not args.skip_isolated:
-        rec.update(isolated(args.frames, args.dtype, args.iters))
-        print(json.dumps(rec), flush=True)
-
-    if args.full:
-        from bench import run_train
-        s_off, _ = run_train(batch=8, iters=8)
-        print(json.dumps({"full_step_flax_s": round(s_off, 4)}), flush=True)
-        s_on, _ = run_train(batch=8, iters=8, stem_pallas=True)
-        rec["full_step_flax_s"] = round(s_off, 4)
-        rec["full_step_pallas_s"] = round(s_on, 4)
-        print(json.dumps(rec), flush=True)
+    rec = isolated(args.frames, args.dtype, args.iters)
+    print(json.dumps(rec), flush=True)
     return 0
 
 

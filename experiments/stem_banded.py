@@ -1,6 +1,6 @@
 """Banded-matmul Pallas fused stem: 7×7 s1 conv + train-BN + ReLU + maxpool.
 
-Second-generation fused stem (the first, ops/stem_pallas.py, is kept as the
+Second-generation fused stem (the first, experiments/stem_pallas.py, is kept as the
 measured negative result: its in-kernel im2col patch stack costs ~28 ms/pass
 of lane↔sublane relayouts). Here the conv FLOPs go to the MXU with NO
 in-kernel patch relayouts:
@@ -29,7 +29,7 @@ then consumes the batch affine. The backward is the XLA-differentiated
 reference graph (jax.vjp over ``reference_stem`` with the saved batch
 moments) — conv-backward is XLA's strength; the fwd HBM pass is the prize.
 
-Semantics (identical contract to ops/stem_pallas.py and the flax modules in
+Semantics (identical contract to experiments/stem_pallas.py and the flax modules in
 models/resnet.py; reference ``models/_utils.py:192``):
   conv 7×7 s1 p2 + bias; BN eps 1e-5, batch stats over (B, H', W'),
   var = E[z²]−E[z]²; maxpool 3×3 s2 p1. Max-pool backward (via XLA's
@@ -107,7 +107,7 @@ def _build_M(w_ref, m_ref, g: _Geom, c: int, parity: int, cdt):
 
     M[i·NEOP + n, x'·C + c] sums the kernel taps w[i, j, c] whose source
     column (xe index n < ne, xo index n − ne) aligns with output column x'
-    (reference tap algebra, see ops/stem_pallas.py _conv_parity_rows):
+    (reference tap algebra, see experiments/stem_pallas.py _conv_parity_rows):
       even x = 2x':   j=2b → xe[x'+b];   j=2b+1 → xo[x'+b]
       odd  x = 2x'+1: j=2b → xo[x'+b];   j=2b+1 → xe[x'+b+1]
     """

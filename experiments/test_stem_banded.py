@@ -11,8 +11,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glfusion_tpu.ops.stem_banded import fused_stem_eval, fused_stem_train
-from glfusion_tpu.ops.stem_pallas import reference_stem
+from experiments.stem_banded import fused_stem_eval, fused_stem_train
+from experiments.stem_pallas import reference_stem
 
 
 def _params(rs, c):

@@ -1,7 +1,9 @@
-"""Pallas fused stem kernel parity (ops/stem_pallas.py).
+"""Pallas fused stem kernel parity (experiments/stem_pallas.py).
 
 Runs the kernels in interpreter mode on CPU; the TPU-compiled path is
 exercised by bench/profile runs (BASELINE.md records measured deltas).
+Run with ``python -m pytest experiments/ -q`` — excluded from the main
+suite (closed-negative research, experiments/README.md).
 """
 
 import jax
@@ -9,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from glfusion_tpu.ops.stem_pallas import (
+from experiments.stem_pallas import (
     _EPS,
     fused_stem_eval,
     fused_stem_train,
@@ -90,18 +92,19 @@ def test_fused_eval_matches_plain():
                                atol=1e-4, rtol=1e-4)
 
 
-def test_resnet_stem_pallas_same_tree_and_eval_output():
-    """The flag changes the compute path, NOT the checkpoint contract:
-    identical param/batch_stats trees (paths, shapes, init values) and
-    identical eval output for the same params."""
+def test_fused_module_same_tree_and_outputs_as_flax_stem():
+    """The fused module changes the compute path, NOT the checkpoint
+    contract: identical param/batch_stats trees (paths, shapes, init
+    values) as models/resnet.IEKDStem, identical eval output for the same
+    params, and matching train-mode BN running-stat updates."""
     from flax.traverse_util import flatten_dict
 
-    from glfusion_tpu.models.resnet import ResNetIEKD
+    from experiments.stem_module import FusedIEKDStem
+    from glfusion_tpu.models.resnet import IEKDStem
 
-    kw = dict(stem_width=4, block_sizes=(1, 1, 1, 1), widths=(2, 4, 6, 8))
     x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1), jnp.float32)
-    plain = ResNetIEKD(**kw)
-    fused = ResNetIEKD(**kw, stem_pallas=True)
+    plain = IEKDStem(stem_width=4)
+    fused = FusedIEKDStem(stem_width=4)
     vp = plain.init(jax.random.PRNGKey(5), x, False)
     vf = fused.init(jax.random.PRNGKey(5), x, False)
     fp = flatten_dict(vp["params"])
@@ -110,75 +113,59 @@ def test_resnet_stem_pallas_same_tree_and_eval_output():
     for k in fp:
         np.testing.assert_array_equal(np.asarray(fp[k]), np.asarray(ff[k]),
                                       err_msg=str(k))
-    sp = flatten_dict(vp["batch_stats"])
-    sf = flatten_dict(vf["batch_stats"])
-    assert set(sp) == set(sf)
+    assert (set(flatten_dict(vp["batch_stats"]))
+            == set(flatten_dict(vf["batch_stats"])))
 
     out_p = plain.apply(vp, x, False)
     out_f = fused.apply(vp, x, False)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
                                atol=1e-4, rtol=1e-4)
 
-
-def test_resnet_stem_pallas_train_stats_match():
-    """Train-mode BN running-stat updates equal the flax path's."""
-    from flax.traverse_util import flatten_dict
-
-    from glfusion_tpu.models.resnet import ResNetIEKD
-
-    kw = dict(stem_width=4, block_sizes=(1, 1, 1, 1), widths=(2, 4, 6, 8))
-    x = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 1), jnp.float32)
-    plain = ResNetIEKD(**kw)
-    fused = ResNetIEKD(**kw, stem_pallas=True)
-    v = plain.init(jax.random.PRNGKey(5), x, False)
-    _, up_p = plain.apply(v, x, True, mutable=["batch_stats"])
-    _, up_f = fused.apply(v, x, True, mutable=["batch_stats"])
-    fp = flatten_dict(up_p["batch_stats"])
-    ff = flatten_dict(up_f["batch_stats"])
-    assert set(fp) == set(ff)
-    for k in fp:
-        np.testing.assert_allclose(np.asarray(fp[k]), np.asarray(ff[k]),
+    _, up_p = plain.apply(vp, x, True, mutable=["batch_stats"])
+    _, up_f = fused.apply(vp, x, True, mutable=["batch_stats"])
+    sp = flatten_dict(up_p["batch_stats"])
+    sf = flatten_dict(up_f["batch_stats"])
+    assert set(sp) == set(sf)
+    for k in sp:
+        np.testing.assert_allclose(np.asarray(sp[k]), np.asarray(sf[k]),
                                    atol=1e-5, rtol=1e-4, err_msg=str(k))
 
 
-def test_glfusion_stem_pallas_under_vmap_trains():
-    """The fused stem composes with the per-view nn.vmap lift and the full
-    train step (pallas batching + custom_vjp batching)."""
-    from dataclasses import replace
+def test_fused_module_under_vmap_differentiates():
+    """The fused stem composes with the per-view nn.vmap lift and reverse
+    AD (pallas batching + custom_vjp batching) — the lift the real model
+    applies — and matches the flax stem's value and gradients."""
+    from glfusion_tpu.models.glfusion import _per_view
+    from glfusion_tpu.models.resnet import IEKDStem
 
-    from glfusion_tpu.config import tiny_config
-    from glfusion_tpu.models import GlobalAndLocal
-    from glfusion_tpu.train.step import make_train_step
-    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+    from experiments.stem_module import FusedIEKDStem
 
-    cfg = tiny_config()
-    cfg = replace(cfg, model=replace(cfg.model, stem_pallas=True))
-    model = GlobalAndLocal(cfg.model)
-    ref_model = GlobalAndLocal(replace(cfg.model, stem_pallas=False))
-    v_, b, hw = cfg.model.num_views, 2, cfg.data.crop_hw
-    t = cfg.data.clip_length
-    x = jnp.asarray(np.random.RandomState(0).rand(v_, b, hw, hw, 1),
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 2, 16, 16, 1),
                     jnp.float32)
-    variables = jax.jit(lambda r: model.init(r, x, False))(
-        jax.random.PRNGKey(0))
-    # same params, same eval output as the unfused model
-    out_f = model.apply(variables, x, False)["mask"]
-    out_p = ref_model.apply(variables, x, False)["mask"]
-    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_p),
-                               atol=1e-3, rtol=1e-3)
 
-    state = TrainState.create(
-        apply_fn=model.apply, params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        tx=make_optimizer(cfg, 1))
-    batch = {
-        "images": x,
-        "masks": jnp.asarray(
-            np.random.RandomState(1).rand(v_, b, hw, hw, 5) > 0.5,
-            jnp.float32),
-        "clips": jnp.asarray(
-            np.random.RandomState(2).rand(v_, t, hw, hw, 1), jnp.float32),
-    }
-    _, metrics = make_train_step(cfg, model)(state, batch,
-                                             jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["loss"]))
+    def run(cls):
+        mod = _per_view(cls)(stem_width=4, name="stem")
+        variables = mod.init(jax.random.PRNGKey(7), x, False)
+
+        def loss(p):
+            y, upd = mod.apply(
+                {"params": p, "batch_stats": variables["batch_stats"]},
+                x, True, mutable=["batch_stats"])
+            return jnp.sum(y.astype(jnp.float32) ** 2)
+
+        val, g = jax.value_and_grad(loss)(variables["params"])
+        return val, g
+
+    val_p, g_p = run(IEKDStem)
+    val_f, g_f = run(FusedIEKDStem)
+    np.testing.assert_allclose(float(val_f), float(val_p),
+                               atol=1e-3, rtol=1e-4)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(g_f))
+    assert len(flat_p) == len(flat_f) > 0
+    for path, leaf in flat_p:
+        # atol covers the conv-bias grad, which train-BN cancels to ~0
+        # mathematically — both paths report reassociation noise there
+        np.testing.assert_allclose(np.asarray(leaf),
+                                   np.asarray(flat_f[path]),
+                                   atol=5e-3, rtol=2e-3, err_msg=str(path))

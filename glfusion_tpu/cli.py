@@ -125,9 +125,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize backbone blocks (saves activation "
                         "HBM at ~30%% extra FLOPs)")
-    p.add_argument("--stem-pallas", action="store_true",
-                   help="Pallas fused stem kernel (conv+BN+ReLU+maxpool in "
-                        "one HBM pass; ops/stem_pallas.py)")
     p.add_argument("--eval-every", type=int, default=1,
                    help="epochs between in-training validations")
     p.add_argument("--save-every", type=int, default=1,
@@ -207,8 +204,7 @@ def config_from_args(args: argparse.Namespace) -> Config:
         model=dataclasses.replace(
             cfg.model, views=views, variant=variant, arch=args.model,
             dtype=(args.dtype or cfg.model.dtype),
-            remat=args.remat or cfg.model.remat,
-            stem_pallas=args.stem_pallas or cfg.model.stem_pallas),
+            remat=args.remat or cfg.model.remat),
         data=dataclasses.replace(cfg.data, root=args.data_root,
                                  clip_length=(
                                      args.clip_length

@@ -67,10 +67,9 @@ class ModelConfig:
     # O(N·C'²) contraction (ops/nonlocal_attn.py) is mathematically equal and
     # cheaper; flip on for parity-exact eval or when benchmarks favor it.
     use_pallas_fusion: bool = False
-    # Pallas fused stem kernel (ops/stem_pallas.py): 7×7 conv + train-BN +
-    # ReLU + maxpool in one HBM pass, attacking the measured bandwidth
-    # floor of the stride-1-stem design (BASELINE.md stem/layer1 rows).
-    stem_pallas: bool = False
+    # (A fused Pallas stem kernel attacking the stride-1-stem bandwidth
+    # floor was built and measured a NET LOSS at every design point; the
+    # closed book lives in experiments/ + BASELINE.md "stem kernel book".)
     # Rematerialize backbone stages to trade FLOPs for HBM (28×28×2048 maps).
     remat: bool = False
     # Per-stage remat override (len == len(block_sizes)); None → every stage

@@ -144,7 +144,6 @@ class GlobalAndLocal(nn.Module):
             remat=cfg.remat,
             remat_stages=(tuple(cfg.remat_stages)
                           if cfg.remat_stages is not None else None),
-            stem_pallas=cfg.stem_pallas,
             name="backbone",
         )
         classifier = _per_view(DeepLabHead)(

@@ -68,42 +68,6 @@ def _stem_conv(module: nn.Module, x: jnp.ndarray, stem_width: int,
     return y.astype(dtype) + bias.astype(dtype)
 
 
-def _stem_fused_pallas(module: nn.Module, x: jnp.ndarray, stem_width: int,
-                       dtype, train: bool) -> jnp.ndarray:
-    """Pallas fused stem (ops/stem_pallas.py): conv+BN+ReLU+maxpool in one
-    HBM pass, keeping the 110² map VMEM-only. Parameter/stat tree is
-    IDENTICAL to the unfused path ('stem_conv'{kernel,bias},
-    'stem_bn'{scale,bias} + batch_stats 'stem_bn'{mean,var}) so checkpoints
-    and the torch converter are unaffected (pinned by
-    tests/test_stem_pallas.py)."""
-    from glfusion_tpu.ops.stem_pallas import (fused_stem_eval,
-                                              fused_stem_train)
-
-    cin = x.shape[-1]
-    sc = module.scope.push("stem_conv")
-    kernel = sc.param("kernel", nn.initializers.lecun_normal(),
-                      (7, 7, cin, stem_width))
-    bias = sc.param("bias", nn.initializers.zeros, (stem_width,))
-    sb = module.scope.push("stem_bn")
-    scale = sb.param("scale", nn.initializers.ones, (stem_width,))
-    bn_bias = sb.param("bias", nn.initializers.zeros, (stem_width,))
-    ra_mean = sb.variable("batch_stats", "mean",
-                          lambda s: jnp.zeros(s, jnp.float32), (stem_width,))
-    ra_var = sb.variable("batch_stats", "var",
-                         lambda s: jnp.ones(s, jnp.float32), (stem_width,))
-    x = x.astype(dtype)
-    kernel = kernel.astype(dtype)
-    if train:
-        out, mu, var = fused_stem_train(x, kernel, bias, scale, bn_bias)
-        if not module.is_initializing():
-            m = _BN["momentum"]
-            ra_mean.value = m * ra_mean.value + (1.0 - m) * mu
-            ra_var.value = m * ra_var.value + (1.0 - m) * var
-        return out
-    return fused_stem_eval(x, kernel, bias, scale, bn_bias,
-                           ra_mean.value, ra_var.value)
-
-
 class Bottleneck(nn.Module):
     """torchvision-style bottleneck: 1×1 → 3×3(stride,dilation) → 1×1(×4)."""
 
@@ -231,10 +195,6 @@ class ResNetIEKD(nn.Module):
     # im2col lowering for the 1-channel stem conv (see _stem_conv):
     # isolated-vmap win, full-graph loss under HBM pressure — default off
     stem_im2col: bool = False
-    # Pallas fused stem (ops/stem_pallas.py): conv+BN+ReLU+maxpool in one
-    # HBM pass. Ignored when return_taps=True (the pre-pool tap would
-    # force materializing exactly the map the kernel keeps in VMEM).
-    stem_pallas: bool = False
     # return a dict of tap activations ({"stem", "layer1".."layer4"}) instead
     # of only layer4 (multi-stage fusion, reference models/ours.py model20;
     # IEKD layer taps, reference models/_utils.py:222-231)
@@ -243,17 +203,17 @@ class ResNetIEKD(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
         dtype = jnp.dtype(self.dtype)
-        # Stem: 7×7 s1 p2 with bias (the IEKD swap), BN, ReLU, maxpool 3×3 s2 p1.
-        if self.stem_pallas and not self.return_taps:
-            stem_act = None
-            x = _stem_fused_pallas(self, x, self.stem_width, dtype, train)
-        else:
-            x = _stem_conv(self, x, self.stem_width, dtype, self.stem_im2col)
-            x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
-                             name="stem_bn", **_BN)(x)
-            x = nn.relu(x)
-            stem_act = x  # pre-maxpool ('x_layerbs', reference _utils.py:222)
-            x = max_pool_3x3_s2(x)
+        # Stem: 7×7 s1 p2 with bias (the IEKD swap), BN, ReLU, maxpool 3×3 s2
+        # p1. (A fused Pallas stem — conv+BN+ReLU+maxpool in one HBM pass —
+        # was built and measured SLOWER than this XLA lowering at every
+        # tested design point; the closed kernel book lives in experiments/
+        # and BASELINE.md "stem kernel book".)
+        x = _stem_conv(self, x, self.stem_width, dtype, self.stem_im2col)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dtype,
+                         name="stem_bn", **_BN)(x)
+        x = nn.relu(x)
+        stem_act = x  # pre-maxpool ('x_layerbs', reference _utils.py:222)
+        x = max_pool_3x3_s2(x)
 
         remat_mask = self.remat_stages
         if remat_mask is None:

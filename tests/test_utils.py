@@ -413,3 +413,31 @@ def test_log_histograms_flag_and_writer(tmp_path):
     n_leaves = len(jax.tree_util.tree_leaves(tr.state.params))
     assert len(tr.summary.tags) == n_leaves
     assert all(t.startswith("params") for t in tr.summary.tags)
+
+
+def test_experiments_not_imported_by_package():
+    """experiments/ is the closed-negative research ledger (see its
+    README): nothing in the shipping package may import from it, and the
+    package must not grow a stem_pallas wiring back (the flag was removed
+    with the relocation)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import re
+
+    pkg = Path(__file__).resolve().parent.parent / "glfusion_tpu"
+    pat = re.compile(r"^\s*(import experiments|from experiments)\b",
+                     re.MULTILINE)
+    hits = [
+        p for p in pkg.rglob("*.py")
+        if pat.search(p.read_text(encoding="utf-8"))
+    ]
+    assert not hits, f"package files importing experiments/: {hits}"
+    # the ledger itself still imports (one-way dependency is allowed)
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import experiments.stem_module, experiments.stem_banded"],
+        capture_output=True, text=True, cwd=str(pkg.parent), timeout=300)
+    assert proc.returncode == 0, proc.stderr[-2000:]

@@ -59,14 +59,9 @@ def full_size_config():
     from glfusion_tpu.config import Config
 
     cfg = Config()
-    # stem_pallas must stay OFF here even if a future default flips: the
-    # kernel keys interpret-mode on the HOST backend (stem_pallas._interpret
-    # reads jax.default_backend(), 'cpu' during this device-less AOT lower),
-    # so enabling it would silently embed the interpreter expansion instead
-    # of Mosaic custom-calls and corrupt the HBM evidence.
     return dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, dtype="bfloat16",
-                                       remat=True, stem_pallas=False))
+                                       remat=True))
 
 
 def tiny_wide_config():
