@@ -43,13 +43,31 @@ def test_shard_batch_places_batch_axis():
     assert spec[1] == "data"
 
 
-def test_dryrun_multichip_8dev():
+def _graft_entry():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
         "__graft_entry__", "__graft_entry__.py")
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    return mod
+
+
+def test_dryrun_multichip_8dev():
+    # representative-width execution is its own test below
+    _graft_entry().dryrun_multichip(8, representative=False)
+
+
+def test_representative_width_sharded_execution():
+    """The production fused-preprocess train step + eval step EXECUTE at
+    representative width (1024-ch backbone tail — the TP rule shards the
+    TPAVI/ASPP/layer3/4 leaves that carry the FLOPs at full size) on the
+    (8,1), (4,2) and (2,4) meshes, and every mesh's loss/params/
+    batch_stats/eval counts match the single-device run (f32 tolerance).
+    The assertions live in representative_sharded_execution itself."""
+    res = _graft_entry().representative_sharded_execution(verbose=False)
+    assert set(res) == {"(8,1)", "(4,2)", "(2,4)"}
+    assert res["(4,2)"]["tp_sharded_leaves"] > 20
+    assert res["(2,4)"]["tp_sharded_leaves"] > 20
 
 
 def test_dryrun_multichip_1dev():
