@@ -193,6 +193,84 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     return dt, flops
 
 
+def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40):
+    """(frames/s inference, s/step train) for a ZOO architecture under the
+    same contracts as the flagship numbers: chained-scan inference at the
+    112×112 multi-view input, and the full train step (supervised batch +
+    cycle clip via the arch's feature tap, fused device preprocessing,
+    Adam). Gives the "whole zoo is trainable" claim perf evidence and makes
+    adapter regressions catchable (BASELINE.md zoo rows). Adapters run in
+    their native f32 (ModelConfig.dtype is plumbed by the flagship only).
+    """
+    import dataclasses
+
+    from glfusion_tpu.config import Config, default_compiler_options
+    from glfusion_tpu.models.registry import build_seg_model
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    compiler_options = default_compiler_options()
+    cfg = Config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, arch=arch),
+        data=dataclasses.replace(cfg.data, clip_length=clip_length),
+        train=dataclasses.replace(cfg.train, batch_size=batch))
+    model, cps = build_seg_model(cfg.model)
+    v = cfg.model.num_views
+    r, c = cfg.data.resize_hw, cfg.data.crop_hw
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(
+        np.random.RandomState(0).rand(v, batch, c, c, 1), jnp.float32)
+    variables = jax.jit(lambda k: model.init(k, x, False))(rng)
+
+    def chained(variables, x):
+        def body(carry, _):
+            out = model.apply(variables, x + carry, False)["mask"]
+            return jnp.mean(out).astype(x.dtype) * 1e-30, None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    compiled = jax.jit(chained).lower(variables, x).compile(
+        compiler_options=compiler_options)
+    float(compiled(variables, x))  # warm
+    t0 = time.perf_counter()
+    float(compiled(variables, x))
+    fps = (v * batch * iters) / (time.perf_counter() - t0)
+
+    rs = np.random.RandomState(1)
+    batch_arrays = {
+        "images_raw": jnp.asarray(rs.rand(v, batch, r, r) * 255, jnp.float32),
+        "masks_raw": jnp.asarray(rs.randint(0, 3, (v, batch, r, r)),
+                                 jnp.int32),
+        "clips": jnp.asarray(rs.rand(v, clip_length, c, c, 1) * 255,
+                             jnp.float32),
+    }
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 100))
+    step = make_train_step(cfg, model, fuse_preprocess=True, cps=cps,
+                           compiler_options=None)
+
+    def chained_train(state, batch, rng):
+        def body(carry, i):
+            st, m = step(carry, batch, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        from glfusion_tpu.utils.profiling import consume_state
+        return consume_state(jnp.sum(losses), state)
+
+    compiled_t = jax.jit(chained_train).lower(
+        state, batch_arrays, rng).compile(compiler_options=compiler_options)
+    float(compiled_t(state, batch_arrays, rng))  # warm
+    t0 = time.perf_counter()
+    float(compiled_t(state, batch_arrays, rng))
+    train_s = (time.perf_counter() - t0) / iters
+    return fps, train_s
+
+
 V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
 
 
@@ -232,7 +310,18 @@ def _wait_for_backend(max_wait_s: int = 1800,
 
 
 def main() -> None:
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default=None,
+                    help="bench a zoo architecture (models/registry.py "
+                         "name, e.g. multiview_unet/utnet/avs_transfusion) "
+                         "instead of the flagship headline")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
     envp = os.environ.get("JAX_PLATFORMS")
     if envp:
         try:  # the env var alone is ignored (sitecustomize pre-imports jax)
@@ -241,6 +330,21 @@ def main() -> None:
             pass
     _wait_for_backend()
     platform = jax.devices()[0].platform
+    if args.model is not None:
+        on_cpu = platform == "cpu"
+        fps, train_s = run_arch(
+            args.model,
+            batch=args.batch or (2 if on_cpu else 8),
+            iters=args.iters or (2 if on_cpu else 10),
+            clip_length=4 if on_cpu else 40)
+        print(json.dumps({
+            "metric": f"{args.model}_inference_throughput",
+            "value": round(fps, 2),
+            "unit": "frames/sec/chip",
+            "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+            "train_step_s": round(train_s, 4),
+        }))
+        return
     if platform == "cpu":
         fps = run(batch=2, iters=2)
         train_s, train_flops = run_train(batch=1, iters=1, clip_length=4)
