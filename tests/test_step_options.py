@@ -112,3 +112,132 @@ def test_eval_step_options_plumbing(monkeypatch):
 
     with pytest.raises(ValueError, match="nested"):
         outer2(state, {"images": batch["images"], "masks": batch["masks"]})
+
+
+# ---------------------------------------------------------------------------
+# Knob interaction matrix: --grad-accum × --mesh-model × cycle_light /
+# fuse_passes / dense_cyc × --variant cps/temporal landed in separate
+# rounds; this pins that the VALID combinations run one step together on
+# the virtual mesh and the INVALID ones fail loudly (TrainConfig knobs +
+# make_train_step/Trainer guards).
+# ---------------------------------------------------------------------------
+
+def _matrix_setup(accum, mesh_model, cfg_kw, variant="global_and_local"):
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.registry import build_seg_model
+    from glfusion_tpu.parallel import make_mesh, shard_batch, shard_variables
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, variant=variant),
+        train=dataclasses.replace(cfg.train, grad_accum=accum,
+                                  mesh_model=mesh_model, **cfg_kw))
+    model, cps = build_seg_model(cfg.model)
+    mesh = make_mesh(data=-1, model=mesh_model)
+    v, hw, t = cfg.model.num_views, cfg.data.crop_hw, cfg.data.clip_length
+    n = 4 * accum  # frames per view per optimizer update
+    x = jnp.asarray(np.random.RandomState(0).rand(v, n, hw, hw, 1),
+                    jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(0))
+    variables = shard_variables(variables, mesh)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 4))
+    batch = shard_batch({
+        "images": x,
+        "masks": jnp.asarray(
+            np.random.RandomState(1).rand(v, n, hw, hw, 5) > 0.5,
+            jnp.float32),
+        "clips": jnp.asarray(
+            np.random.RandomState(2).rand(v, t, hw, hw, 1), jnp.float32),
+    }, mesh, batch_axis=1)
+    return cfg, model, cps, state, batch
+
+
+@pytest.mark.parametrize("accum,mesh_model,cfg_kw,variant", [
+    # accum × TP mesh × each r2/r3 knob, plus knob pairs that are allowed
+    (2, 2, {}, "global_and_local"),
+    (1, 2, {"cycle_light": True}, "global_and_local"),
+    (2, 1, {"dense_cyc": True}, "global_and_local"),
+    (1, 2, {"fuse_passes": True}, "global_and_local"),
+    (2, 2, {"temporal": True}, "global_and_local"),
+    (1, 2, {}, "cps"),
+    (2, 1, {"dense_cyc": True}, "cps"),
+    (1, 1, {"cycle_light": True, "temporal": True}, "global_and_local"),
+], ids=["accum2-tp2", "tp2-cyclight", "accum2-densecyc", "tp2-fusepasses",
+        "accum2-tp2-temporal", "tp2-cps", "accum2-cps-densecyc",
+        "cyclight-temporal"])
+def test_knob_matrix_valid_combinations_run_one_step(
+        accum, mesh_model, cfg_kw, variant):
+    from glfusion_tpu.train.step import make_train_step
+
+    cfg, model, cps, state, batch = _matrix_setup(accum, mesh_model, cfg_kw,
+                                                  variant)
+    step = make_train_step(cfg, model, cps=cps)
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"])), (cfg_kw, metrics)
+    # exactly one optimizer update applied regardless of accum/knobs
+    assert int(new_state.step) == 1
+
+
+@pytest.mark.parametrize("accum,cfg_kw,variant,match", [
+    (1, {"fuse_passes": True}, "cps", "exclusive"),
+    (1, {"fuse_passes": True, "temporal": True}, "global_and_local",
+     "exclusive"),
+    (2, {"fuse_passes": True}, "global_and_local", "exclusive"),
+    (0, {}, "global_and_local", "grad_accum"),
+], ids=["fusepasses-cps", "fusepasses-temporal", "fusepasses-accum2",
+        "accum0"])
+def test_knob_matrix_invalid_combinations_raise(accum, cfg_kw, variant,
+                                                match):
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.registry import build_seg_model
+    from glfusion_tpu.train.step import make_train_step
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, variant=variant),
+        train=dataclasses.replace(cfg.train, grad_accum=accum, **cfg_kw))
+    model, cps = build_seg_model(cfg.model)
+    with pytest.raises(ValueError, match=match):
+        make_train_step(cfg, model, cps=cps)
+
+
+@pytest.mark.parametrize("train_kw,model_kw,match", [
+    ({"cycle_light": True}, {"arch": "unet"}, "cycle_light"),
+    ({"cycle_light": True}, {"variant": "fg_bg"}, "cycle_light"),
+    ({"temporal": True}, {"variant": "cps"}, "temporal"),
+    ({"fuse_passes": True}, {"variant": "local_only"}, "fuse_passes"),
+], ids=["cyclight-unet", "cyclight-fgbg", "temporal-cps",
+        "fusepasses-localonly"])
+def test_knob_matrix_trainer_level_guards(tmp_path, train_kw, model_kw,
+                                          match):
+    """Trainer rejects arch/variant-incompatible knob combinations BEFORE
+    any expensive work (the guards at trainer.py __init__)."""
+    import dataclasses
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+    from glfusion_tpu.train.trainer import Trainer
+
+    cfg = tiny_config()
+    cfg = dataclasses.replace(
+        cfg,
+        model=dataclasses.replace(cfg.model, **model_kw),
+        train=dataclasses.replace(cfg.train, **train_kw,
+                                  save_dir=str(tmp_path / "ckpt"),
+                                  log_dir=str(tmp_path / "log")))
+    paths = generate_synthetic_dataset(str(tmp_path / "data"), cfg.data,
+                                       views=cfg.model.views, seed=0)
+    with pytest.raises(ValueError, match=match):
+        Trainer(cfg, data_paths=paths, verbose=False)
