@@ -140,8 +140,31 @@ class _OrbaxBackend:
         self._mgr.wait_until_finished()
         if step not in set(self._mgr.all_steps()):
             return None
-        return self._mgr.restore(
+        restored = self._mgr.restore(
             step, args=self._ocp.args.StandardRestore(template))
+
+        # Orbax restores every leaf as a COMMITTED device array. Leaves
+        # whose template carries a mesh NamedSharding (params/batch_stats
+        # placed by shard_variables, Adam mu/nu that followed them) come
+        # back correctly global — but replicated host-created scalars
+        # (e.g. optax count, created eagerly and uncommitted) come back
+        # pinned to one process-local device. A jit mixing those with
+        # mesh-global arrays fails on multi-process meshes ("incompatible
+        # devices"). Return such leaves as host numpy — uncommitted, so
+        # the next step's placement resolves them exactly like the fresh
+        # state's (tests/test_multiprocess.py checkpoint round-trip).
+        import jax
+        from jax.sharding import NamedSharding
+
+        def _uncommit(t, r):
+            template_named = (isinstance(t, jax.Array)
+                              and isinstance(t.sharding, NamedSharding))
+            if (isinstance(r, jax.Array) and not template_named
+                    and len(r.sharding.device_set) == 1):
+                return jax.device_get(r)
+            return r
+
+        return jax.tree_util.tree_map(_uncommit, template, restored)
 
 
 class _FlaxBackend:

@@ -58,18 +58,100 @@ print("RESULT", json.dumps({"loss": m["loss"], "dice": m["dice"],
 """
 
 
+# Checkpoint round-trip child: train 1 epoch on a (data=1, model=2) mesh
+# whose parameter shards SPAN the two processes, save via orbax (the only
+# backend that handles process-spanning leaves; the flax fallback refuses),
+# restore into a FRESH Trainer, verify bitwise equality of the restored
+# params across the process boundary, and continue one more epoch.
+_CHILD_CKPT = """
+import dataclasses, json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from glfusion_tpu.utils.cluster import initialize_distributed
+initialize_distributed(port=int(sys.argv[3]))
+mesh_model = int(sys.argv[4])
+ckpt_dir = sys.argv[5]  # SHARED across ranks (orbax collective save)
+from glfusion_tpu.parallel import sharding
+sharding._MIN_SHARD_DIM = 4
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.train.trainer import Trainer
+
+paths = json.load(open(sys.argv[1]))
+cfg = tiny_config()
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, stem_width=4, widths=(4, 4, 8, 8),
+                              aspp_channels=8),
+    train=dataclasses.replace(
+        cfg.train, num_epochs=1, use_cycle=False, mesh_model=mesh_model,
+        save_dir=ckpt_dir, log_dir=sys.argv[2] + "/log",
+        eval_every_epochs=100, save_every_epochs=1))
+tr = Trainer(cfg, data_paths=paths, verbose=False)
+assert tr.ckpt.backend == "orbax", tr.ckpt.backend
+m1 = tr.train()  # epoch 0 + collective orbax save + wait
+
+tr2 = Trainer(cfg, data_paths=paths, verbose=False)
+assert tr2.load_latest() and tr2.epoch == 1, tr2.epoch
+
+# restored process-spanning shards must equal the saved state exactly
+import numpy as np
+flat_a = jax.tree_util.tree_leaves_with_path(tr.state.params)
+flat_b = dict(jax.tree_util.tree_leaves_with_path(tr2.state.params))
+assert len(flat_a) == len(flat_b) > 0
+for path, leaf in flat_a:
+    np.testing.assert_array_equal(
+        np.asarray(tr._fetch(leaf)), np.asarray(tr2._fetch(flat_b[path])),
+        err_msg=str(path))
+assert int(tr2.state.step) == int(tr.state.step) > 0
+
+m2 = tr2._train_epoch(1)
+print("RESULT", json.dumps({"loss0": m1["loss"], "loss1": m2["loss"],
+                            "steps": m2["steps"],
+                            "nproc": jax.process_count()}), flush=True)
+"""
+
+# Cross-process-count restore child: restore the checkpoint the 2-process
+# pair saved into a SINGLE process (mesh model=1) and continue an epoch —
+# elastic restart with a different topology.
+_CHILD_RESTORE_1PROC = """
+import dataclasses, json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+ckpt_dir = sys.argv[5]
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.train.trainer import Trainer
+
+paths = json.load(open(sys.argv[1]))
+cfg = tiny_config()
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, stem_width=4, widths=(4, 4, 8, 8),
+                              aspp_channels=8),
+    train=dataclasses.replace(
+        cfg.train, num_epochs=2, use_cycle=False, mesh_model=1,
+        save_dir=ckpt_dir, log_dir=sys.argv[2] + "/log",
+        eval_every_epochs=100, save_every_epochs=1))
+tr = Trainer(cfg, data_paths=paths, verbose=False)
+assert tr.load_latest() and tr.epoch == 1, tr.epoch
+m = tr._train_epoch(1)
+print("RESULT", json.dumps({"loss1": m["loss"], "steps": m["steps"],
+                            "nproc": jax.process_count()}), flush=True)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         return s.getsockname()[1]
 
 
-def _run(paths_file, workdir, port, extra_env, mesh_model=1):
+def _run(paths_file, workdir, port, extra_env, mesh_model=1, child=_CHILD,
+         extra_argv=()):
     env = dict(os.environ, JAX_PLATFORMS="cpu", **extra_env)
     env.pop("XLA_FLAGS", None)  # children get real 1-device CPU backends
     return subprocess.Popen(
-        [sys.executable, "-c", _CHILD, paths_file, workdir, str(port),
-         str(mesh_model)],
+        [sys.executable, "-c", child, paths_file, workdir, str(port),
+         str(mesh_model), *map(str, extra_argv)],
         env=env, cwd="/root/repo",
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
 
@@ -163,3 +245,44 @@ def test_two_process_tensor_parallel_epoch_matches_single_process(
     tmp_path, paths_file, base_res = corpus_and_baseline
     results = _run_pair(paths_file, tmp_path, "tp_rank", mesh_model=2)
     _check_pair(results, base_res)
+
+
+def test_two_process_checkpoint_roundtrip_and_elastic_restore(
+        corpus_and_baseline):
+    """The one distributed path previously untested: a (model=2) run whose
+    parameter shards SPAN the two processes SAVES via orbax on epoch
+    cadence, a fresh Trainer pair RESTORES it (restored leaves verified
+    bitwise across the process boundary inside the child) and continues —
+    then a SINGLE process restores the same 2-process checkpoint (elastic
+    process-count change) and its continued epoch matches the 2-process
+    pair's within f32 reduction-order tolerance."""
+    tmp_path, paths_file, base_res = corpus_and_baseline
+    ckpt_dir = str(tmp_path / "shared_ckpt")
+    port = _free_port()
+    env_extra = {"GLFUSION_CKPT_BACKEND": "orbax"}
+    procs = [
+        _run(paths_file, str(tmp_path / f"ck_rank{r}"), port,
+             {"PMI_SIZE": "2", "PMI_RANK": str(r), **env_extra},
+             mesh_model=2, child=_CHILD_CKPT, extra_argv=(ckpt_dir,))
+        for r in range(2)
+    ]
+    try:
+        results = [_result(p) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for res in results:
+        assert res["nproc"] == 2
+        assert res["steps"] == base_res["steps"]
+    assert results[0]["loss1"] == results[1]["loss1"]
+
+    # 2-process save → 1-process restore + continue
+    solo = _run(paths_file, str(tmp_path / "ck_solo"), _free_port(),
+                env_extra, child=_CHILD_RESTORE_1PROC,
+                extra_argv=(ckpt_dir,))
+    solo_res = _result(solo)
+    assert solo_res["nproc"] == 1
+    assert solo_res["steps"] == results[0]["steps"]
+    np.testing.assert_allclose(solo_res["loss1"], results[0]["loss1"],
+                               rtol=1e-4)
