@@ -441,3 +441,25 @@ def test_experiments_not_imported_by_package():
          "import experiments.stem_module, experiments.stem_banded"],
         capture_output=True, text=True, cwd=str(pkg.parent), timeout=300)
     assert proc.returncode == 0, proc.stderr[-2000:]
+
+
+def test_perf_regression_guard():
+    """tools/check_perf_regression.py: the hold-the-line floors trip on a
+    regressed record, pass on the stamped one, and skip CPU records."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import check_perf_regression as guard
+
+    good = {"metric": "m", "value": 1275.4, "unit": "frames/sec/chip",
+            "train_step_s": 0.363, "train_step_light_s": 0.3107,
+            "train_mfu_pct": 50.2}
+    assert guard.check(dict(good), slack=0.04) == 0
+    bad = dict(good, value=1100.0, train_mfu_pct=44.0)
+    assert guard.check(bad, slack=0.04) == 1
+    missing = {k: v for k, v in good.items() if k != "train_step_s"}
+    assert guard.check(missing, slack=0.04) == 1
+    cpu = {"metric": "m", "value": 1.2, "unit": "frames/sec/chip",
+           "train_step_s": 30.0}
+    assert guard.check(cpu, slack=0.04) == 0
