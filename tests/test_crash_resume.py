@@ -200,3 +200,56 @@ def test_sigterm_graceful_epoch_boundary_stop(tmp_path):
         cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
     assert out2.returncode == 0, out2.stdout + out2.stderr
     assert f"restored checkpoint at epoch {survived[0] + 1}" in out2.stdout
+
+
+def test_inprocess_resume_with_cycle_matches_uninterrupted(tmp_path):
+    """Resume-trajectory fidelity WITH the cycle loss on (the CLI bitwise
+    test above runs --no-cycle): an interrupted-at-epoch-2 run resumed in
+    a FRESH Trainer must reach epoch 4 with params and batch_stats
+    bitwise identical to an uninterrupted 4-epoch run — pinning the
+    fold_in key derivation across BOTH forwards (augmentation/dropout and
+    the per-view cycle sampling) plus the checkpoint round-trip."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+    from glfusion_tpu.train.trainer import Trainer
+
+    cfg = tiny_config()
+    paths = generate_synthetic_dataset(tmp_path / "data", cfg.data,
+                                       views=cfg.model.views, seed=0)
+
+    def make_cfg(tag):
+        return dataclasses.replace(cfg, train=dataclasses.replace(
+            cfg.train, use_cycle=True, mesh_data=1,
+            save_every_epochs=1, eval_every_epochs=100,
+            save_dir=str(tmp_path / tag / "ckpt"),
+            log_dir=str(tmp_path / tag / "log")))
+
+    def fetch(tr):
+        return (jax.device_get(tr.state.params),
+                jax.device_get(tr.state.batch_stats))
+
+    solo = Trainer(make_cfg("solo"), data_paths=paths, verbose=False)
+    solo.train(4)
+    params_a, stats_a = fetch(solo)
+
+    first = Trainer(make_cfg("split"), data_paths=paths, verbose=False)
+    first.train(2)
+    resumed = Trainer(make_cfg("split"), data_paths=paths, verbose=False)
+    assert resumed.load_latest() and resumed.epoch == 2
+    resumed.train(4)
+    params_b, stats_b = fetch(resumed)
+
+    for (tree_a, tree_b, what) in ((params_a, params_b, "params"),
+                                   (stats_a, stats_b, "batch_stats")):
+        flat_a = jax.tree_util.tree_leaves_with_path(tree_a)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(tree_b))
+        assert len(flat_a) == len(flat_b) > 0
+        for path, leaf in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[path]),
+                err_msg=f"{what} {path}")
