@@ -271,6 +271,73 @@ def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40):
     return fps, train_s
 
 
+def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48):
+    """(clips/s inference, s/step train) for a REGRESSION architecture
+    (models/registry.build_reg_model) at the reference's clip contract:
+    (V views, crop 112², reg_clip_frames=48 frames — loader.py:157's
+    spatial_size through the crop path) → scalar mPAP. Same chained-scan
+    harnesses as the segmentation rows; native f32."""
+    from glfusion_tpu.config import Config, default_compiler_options
+    from glfusion_tpu.models.registry import build_reg_model
+    from glfusion_tpu.train.regression import (make_regression_eval_step,
+                                               make_regression_train_step)
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+    from glfusion_tpu.utils.profiling import consume_state
+
+    compiler_options = default_compiler_options()
+    cfg = Config()
+    model, adapter = build_reg_model(arch, cfg.model.num_views)
+    v, c = cfg.model.num_views, cfg.data.crop_hw
+    rs = np.random.RandomState(0)
+    clips = jnp.asarray(rs.rand(v, batch, c, c, clip_frames), jnp.float32)
+    model_in = adapter(clips)
+    targets = jnp.asarray(rs.rand(batch) * 60 + 20, jnp.float32)
+
+    variables = jax.jit(lambda k: model.init(k, model_in, False))(
+        jax.random.PRNGKey(0))
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 100))
+
+    ev = make_regression_eval_step(model, compiler_options=None)
+
+    def chained_eval(state, x):
+        def body(carry, _):
+            pred = ev(state, {"clips": x + carry})
+            return jnp.mean(pred).astype(x.dtype) * 1e-30, None
+        carry, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=iters)
+        return carry
+
+    compiled = jax.jit(chained_eval).lower(state, model_in).compile(
+        compiler_options=compiler_options)
+    float(compiled(state, model_in))  # warm
+    t0 = time.perf_counter()
+    float(compiled(state, model_in))
+    clips_per_s = (batch * iters) / (time.perf_counter() - t0)
+
+    step = make_regression_train_step(model, compiler_options=None)
+
+    def chained_train(state, x, targets, rng):
+        def body(carry, i):
+            st, m = step(carry, {"clips": x, "targets": targets},
+                         jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        state, losses = jax.lax.scan(body, state, jnp.arange(iters))
+        return consume_state(jnp.sum(losses), state)
+
+    rng = jax.random.PRNGKey(1)
+    compiled_t = jax.jit(chained_train).lower(
+        state, model_in, targets, rng).compile(
+            compiler_options=compiler_options)
+    float(compiled_t(state, model_in, targets, rng))  # warm
+    t0 = time.perf_counter()
+    float(compiled_t(state, model_in, targets, rng))
+    train_s = (time.perf_counter() - t0) / iters
+    return clips_per_s, train_s
+
+
 V5E_BF16_PEAK_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
 
 
@@ -318,6 +385,9 @@ def main() -> None:
                     help="bench a zoo architecture (models/registry.py "
                          "name, e.g. multiview_unet/utnet/avs_transfusion) "
                          "instead of the flagship headline")
+    ap.add_argument("--reg-model", default=None,
+                    help="bench a regression architecture "
+                         "(resnet50pah/r2plus1d/timesformer/resnet50pfs)")
     ap.add_argument("--batch", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
     args = ap.parse_args()
@@ -330,6 +400,21 @@ def main() -> None:
             pass
     _wait_for_backend()
     platform = jax.devices()[0].platform
+    if args.reg_model is not None:
+        on_cpu = platform == "cpu"
+        cps, train_s = run_reg(
+            args.reg_model,
+            batch=args.batch or (1 if on_cpu else 8),
+            iters=args.iters or (2 if on_cpu else 10),
+            clip_frames=8 if on_cpu else 48)
+        print(json.dumps({
+            "metric": f"{args.reg_model}_regression_throughput",
+            "value": round(cps, 2),
+            "unit": "clips/sec/chip",
+            "vs_baseline": None,
+            "train_step_s": round(train_s, 4),
+        }))
+        return
     if args.model is not None:
         on_cpu = platform == "cpu"
         fps, train_s = run_arch(

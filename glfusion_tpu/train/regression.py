@@ -28,13 +28,19 @@ from glfusion_tpu.utils.checkpoint import CheckpointManager
 from glfusion_tpu.utils.scores import mae, mse, r2, rmse
 
 
-def make_regression_train_step(model):
+def make_regression_train_step(model,
+                               compiler_options: "dict | None | str"
+                               = "default"):
+    """compiler_options: as in train/step.make_train_step — pass ``None``
+    when the step nests inside an outer jit (bench.py's chained scan)."""
     import functools
 
     from glfusion_tpu.config import default_compiler_options
 
-    @functools.partial(jax.jit,
-                       compiler_options=default_compiler_options())
+    if compiler_options == "default":
+        compiler_options = default_compiler_options()
+
+    @functools.partial(jax.jit, compiler_options=compiler_options)
     def step(state: TrainState, batch: Dict[str, jnp.ndarray], rng):
         def loss_fn(params):
             out, updates = state.apply_fn(
@@ -56,13 +62,18 @@ def make_regression_train_step(model):
     return step
 
 
-def make_regression_eval_step(model):
+def make_regression_eval_step(model,
+                              compiler_options: "dict | None | str"
+                              = "default"):
+    """compiler_options: see make_regression_train_step."""
     import functools
 
     from glfusion_tpu.config import default_compiler_options
 
-    @functools.partial(jax.jit,
-                       compiler_options=default_compiler_options())
+    if compiler_options == "default":
+        compiler_options = default_compiler_options()
+
+    @functools.partial(jax.jit, compiler_options=compiler_options)
     def step(state: TrainState, batch):
         out = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
