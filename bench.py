@@ -9,7 +9,13 @@ Timing method: ITERS forward passes run INSIDE one jitted ``lax.scan`` with a
 data dependency chaining iterations, and a single scalar is fetched to host.
 One dispatch + one transfer — robust against lazy dispatch through remote
 device tunnels (naive block_until_ready loops were observed to under-report
-by >10× on the axon TPU transport).
+by >10× on the axon TPU transport). Each metric times SAMPLES dispatches and
+reports the min: a single timed dispatch is exposed to one-off transport
+stalls (BENCH_r04.json recorded a 5.817 s heavy step — a ~55 s stall inside
+the one timed dispatch — on code whose true step was 0.363 s). Samples >1.5×
+the best are counted in the record's ``stall_retries`` field, and the
+headline path re-measures once when the heavy/light-step ratio or the
+hold-the-line floors (tools/check_perf_regression.py) flag an anomaly.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -37,9 +43,70 @@ CPU_BASELINE_FPS = 0.60
 BATCH_FRAMES = 32
 ITERS = 10
 
+# best-of-N timing: N dispatches per metric, report the min. A sample
+# >STALL_RATIO× the best is a transport stall, tallied in _STALL_EVENTS
+# (repeated clean runs vary <1.5 %, so 1.5× cleanly separates noise from
+# the observed ~16× stalls).
+SAMPLES = 3
+STALL_RATIO = 1.5
+_STALL_EVENTS = 0
+
+
+def _timed_best(dispatch, samples: int = SAMPLES) -> float:
+    """Min wall time of ``samples`` dispatch+fetch calls of an already-warm
+    compiled fn; tallies outlier samples into the module ``_STALL_EVENTS``
+    counter so a poisoned sample is visible in the record instead of
+    silently corrupting it."""
+    global _STALL_EVENTS
+    dts = []
+    for _ in range(max(1, samples)):
+        t0 = time.perf_counter()
+        dispatch()
+        dts.append(time.perf_counter() - t0)
+    best = min(dts)
+    _STALL_EVENTS += sum(1 for d in dts if d > STALL_RATIO * best)
+    return best
+
+
+def finalize_headline(train_s, light_s, remeasure_train,
+                      floor_ok=None, ratio_limit: float = 3.0):
+    """Sanity-gate the headline heavy-step time; re-measure once on anomaly.
+
+    The heavy step (full cycle clip) runs ~1.2× the light step; a measured
+    ratio > ``ratio_limit`` — or a hold-the-line floor miss reported by
+    ``floor_ok(train_s) == False`` — means a stalled sample leaked through
+    best-of-N. Returns ``(train_s, retries)`` where the re-measured value
+    is taken only if better (a stall can only inflate, never deflate).
+    Pure function so the retry logic is unit-testable without a TPU
+    (tests/test_bench_guard.py)."""
+    anomaly = light_s is not None and train_s > ratio_limit * light_s
+    if not anomaly and floor_ok is not None:
+        anomaly = not floor_ok(train_s)
+    if not anomaly:
+        return train_s, 0
+    return min(train_s, remeasure_train()), 1
+
+
+def _train_floor_ok(train_s: float) -> bool:
+    """True when the heavy-step time holds tools/check_perf_regression.py's
+    floor (single source of truth — loaded from the tool, not duplicated)."""
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "check_perf_regression.py")
+    try:
+        spec = importlib.util.spec_from_file_location("_perf_guard", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        floor, _ = mod.FLOORS["train_step_s"]
+    except Exception:
+        return True  # guard file missing/renamed: don't block the record
+    return train_s <= floor * 1.04  # the guard's default 4 % slack
+
 
 def run(batch: int, iters: int, dtype: str = "bfloat16",
-        compiler_options: "dict | None | str" = "default") -> float:
+        compiler_options: "dict | None | str" = "default",
+        samples: int = SAMPLES) -> float:
     from glfusion_tpu.config import Config, ModelConfig
     from glfusion_tpu.models import GlobalAndLocal
 
@@ -69,9 +136,7 @@ def run(batch: int, iters: int, dtype: str = "bfloat16",
     compiled = jax.jit(chained).lower(variables, x).compile(
         compiler_options=compiler_options)
     float(compiled(variables, x))  # warm
-    t0 = time.perf_counter()
-    float(compiled(variables, x))  # one dispatch, one scalar fetch
-    dt = time.perf_counter() - t0
+    dt = _timed_best(lambda: float(compiled(variables, x)), samples)
     frames = mcfg.num_views * batch * iters
     return frames / dt
 
@@ -81,7 +146,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
               fuse_passes: bool = False, grad_accum: int = 1,
               remat: bool = True,
               sup_remat: "bool | None" = None,
-              compiler_options: "dict | None | str" = "default"):
+              compiler_options: "dict | None | str" = "default",
+              samples: int = SAMPLES):
     """Seconds per full train step (reference recipe: batch 8 supervised
     multi-view frames + one 40-frame cycle clip per view, fused device
     preprocessing, Adam). Steps are chained through the TrainState inside
@@ -168,9 +234,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     compiled = jax.jit(chained_fn).lower(
         state, batch_arrays, rng).compile(compiler_options=compiler_options)
     float(compiled(state, batch_arrays, rng))  # warm
-    t0 = time.perf_counter()
-    float(compiled(state, batch_arrays, rng))
-    dt = (time.perf_counter() - t0) / iters
+    dt = _timed_best(
+        lambda: float(compiled(state, batch_arrays, rng)), samples) / iters
 
     # FLOPs per step from a SINGLE-step compile: XLA's cost analysis counts
     # a scan body once regardless of trip count, so the chained graph would
@@ -193,7 +258,8 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
     return dt, flops
 
 
-def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40):
+def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40,
+             samples: int = SAMPLES):
     """(frames/s inference, s/step train) for a ZOO architecture under the
     same contracts as the flagship numbers: chained-scan inference at the
     112×112 multi-view input, and the full train step (supervised batch +
@@ -234,9 +300,8 @@ def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40):
     compiled = jax.jit(chained).lower(variables, x).compile(
         compiler_options=compiler_options)
     float(compiled(variables, x))  # warm
-    t0 = time.perf_counter()
-    float(compiled(variables, x))
-    fps = (v * batch * iters) / (time.perf_counter() - t0)
+    fps = (v * batch * iters) / _timed_best(
+        lambda: float(compiled(variables, x)), samples)
 
     rs = np.random.RandomState(1)
     batch_arrays = {
@@ -265,13 +330,13 @@ def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40):
     compiled_t = jax.jit(chained_train).lower(
         state, batch_arrays, rng).compile(compiler_options=compiler_options)
     float(compiled_t(state, batch_arrays, rng))  # warm
-    t0 = time.perf_counter()
-    float(compiled_t(state, batch_arrays, rng))
-    train_s = (time.perf_counter() - t0) / iters
+    train_s = _timed_best(
+        lambda: float(compiled_t(state, batch_arrays, rng)), samples) / iters
     return fps, train_s
 
 
-def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48):
+def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48,
+            samples: int = SAMPLES):
     """(clips/s inference, s/step train) for a REGRESSION architecture
     (models/registry.build_reg_model) at the reference's clip contract:
     (V views, crop 112², reg_clip_frames=48 frames — loader.py:157's
@@ -312,9 +377,8 @@ def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48):
     compiled = jax.jit(chained_eval).lower(state, model_in).compile(
         compiler_options=compiler_options)
     float(compiled(state, model_in))  # warm
-    t0 = time.perf_counter()
-    float(compiled(state, model_in))
-    clips_per_s = (batch * iters) / (time.perf_counter() - t0)
+    clips_per_s = (batch * iters) / _timed_best(
+        lambda: float(compiled(state, model_in)), samples)
 
     step = make_regression_train_step(model, compiler_options=None)
 
@@ -332,9 +396,9 @@ def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48):
         state, model_in, targets, rng).compile(
             compiler_options=compiler_options)
     float(compiled_t(state, model_in, targets, rng))  # warm
-    t0 = time.perf_counter()
-    float(compiled_t(state, model_in, targets, rng))
-    train_s = (time.perf_counter() - t0) / iters
+    train_s = _timed_best(
+        lambda: float(compiled_t(state, model_in, targets, rng)),
+        samples) / iters
     return clips_per_s, train_s
 
 
@@ -400,50 +464,68 @@ def main() -> None:
             pass
     _wait_for_backend()
     platform = jax.devices()[0].platform
+    on_cpu = platform == "cpu"
+    samples = 1 if on_cpu else SAMPLES  # CPU records are dev smoke only
     if args.reg_model is not None:
-        on_cpu = platform == "cpu"
         cps, train_s = run_reg(
             args.reg_model,
             batch=args.batch or (1 if on_cpu else 8),
             iters=args.iters or (2 if on_cpu else 10),
-            clip_frames=8 if on_cpu else 48)
+            clip_frames=8 if on_cpu else 48,
+            samples=samples)
         print(json.dumps({
             "metric": f"{args.reg_model}_regression_throughput",
             "value": round(cps, 2),
             "unit": "clips/sec/chip",
             "vs_baseline": None,
             "train_step_s": round(train_s, 4),
+            "platform": platform,
+            "stall_retries": _STALL_EVENTS,
         }))
         return
     if args.model is not None:
-        on_cpu = platform == "cpu"
         fps, train_s = run_arch(
             args.model,
             batch=args.batch or (2 if on_cpu else 8),
             iters=args.iters or (2 if on_cpu else 10),
-            clip_length=4 if on_cpu else 40)
+            clip_length=4 if on_cpu else 40,
+            samples=samples)
         print(json.dumps({
             "metric": f"{args.model}_inference_throughput",
             "value": round(fps, 2),
             "unit": "frames/sec/chip",
-            "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
+            # no per-arch baseline exists: fps/CPU_BASELINE_FPS would be a
+            # cross-architecture ratio mislabeled as this arch's speedup
+            "vs_baseline": None,
             "train_step_s": round(train_s, 4),
+            "platform": platform,
+            "stall_retries": _STALL_EVENTS,
         }))
         return
-    if platform == "cpu":
-        fps = run(batch=2, iters=2)
-        train_s, train_flops = run_train(batch=1, iters=1, clip_length=4)
+    if on_cpu:
+        fps = run(batch=2, iters=2, samples=samples)
+        train_s, train_flops = run_train(batch=1, iters=1, clip_length=4,
+                                         samples=samples)
         light_s = None
+        retries = 0
     else:
         fps = run(batch=BATCH_FRAMES, iters=ITERS)
         train_s, train_flops = run_train(batch=8, iters=10)
         light_s, _ = run_train(batch=8, iters=10, cycle_light=True)
+        # best-of-N can still be poisoned if every sample stalls: gate on
+        # the heavy/light ratio (true ratio ~1.2) and the hold-the-line
+        # floor, re-measuring the heavy step once on anomaly
+        train_s, retries = finalize_headline(
+            train_s, light_s,
+            remeasure_train=lambda: run_train(batch=8, iters=10)[0],
+            floor_ok=_train_floor_ok)
     rec = {
         "metric": "multiview_inference_throughput",
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / CPU_BASELINE_FPS, 2),
         "train_step_s": round(train_s, 4),
+        "platform": platform,
     }
     if light_s is not None:
         rec["train_step_light_s"] = round(light_s, 4)
@@ -453,6 +535,7 @@ def main() -> None:
         if platform != "cpu":
             rec["train_mfu_pct"] = round(
                 100.0 * tflops / V5E_BF16_PEAK_TFLOPS, 1)
+    rec["stall_retries"] = _STALL_EVENTS + retries
     print(json.dumps(rec))
 
 

@@ -31,13 +31,23 @@ FLOORS = {
 
 
 def check(rec: dict, slack: float) -> int:
+    if rec.get("metric") != "multiview_inference_throughput":
+        # zoo (--model) / regression (--reg-model) rows have no floors —
+        # they are BASELINE.md anchors, not hold-the-line contracts
+        print(f"non-headline record ({rec.get('metric')}): guard skipped")
+        return 0
     if rec.get("unit") != "frames/sec/chip":
         print(f"unrecognized record: {rec}", file=sys.stderr)
         return 1
-    if "train_mfu_pct" not in rec:
-        print("CPU record (no MFU field): guard skipped — the floors are "
-              "a TPU contract")
+    # keyed on the explicit platform field (bench.py emits it since r5);
+    # pre-r5 records lack it — fall back to the MFU heuristic for those
+    platform = rec.get("platform")
+    if platform == "cpu" or (platform is None and "train_mfu_pct" not in rec):
+        print("CPU record: guard skipped — the floors are a TPU contract")
         return 0
+    if rec.get("stall_retries"):
+        print(f"note: {rec['stall_retries']} stalled sample(s)/retries "
+              "during measurement (best-of-N absorbed them)")
     failures = []
     for key, (floor, direction) in FLOORS.items():
         if key not in rec:
