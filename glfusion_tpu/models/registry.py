@@ -154,6 +154,75 @@ class _AVSAdapter(nn.Module):
                 "f4_global": feat, "f4_local": feat}
 
 
+class _UNetFamilyAdapter(nn.Module):
+    """models/unet.py 4-variant family (reference models/unet.py:138 U_Net,
+    :204 R2U_Net, :276 AttU_Net, :349 R2AttU_Net) under the multi-view
+    contract; the H/16 deepest encoder stage is the cycle-feature tap (the
+    reference's entry point never trains this family — main.py:150 — so the
+    tap is this repo's train contract)."""
+
+    cfg: ModelConfig
+    recurrent: bool
+    attention: bool
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        from glfusion_tpu.models.unet import UNet
+
+        # stem_width 64 reproduces the reference widths (64..1024)
+        widths = tuple(self.cfg.stem_width * (2 ** i) for i in range(5))
+        net = _per_view(UNet)(
+            out_channels=self.cfg.num_classes, widths=widths,
+            recurrent=self.recurrent, attention=self.attention,
+            return_features=True, name="net")
+        mask, bott = net(x, train)
+        return {"mask": mask, "mask_bb": mask,
+                "f4_global": bott, "f4_local": bott}
+
+
+class _Res3DUNetAdapter(nn.Module):
+    """ResUNet3D (reference res3dunet.py:6) under the multi-view contract.
+
+    The reference defines the volumetric model but never wires it to
+    training (no caller); the adapter folds each view's frame batch into
+    ONE volume (frames → depth, edge-padded to the /8 downsample contract),
+    so the 3-D context the architecture exists for spans the frames. The
+    three coarse deep-supervision heads return as ``mask_aux`` — the train
+    step sums them into the loss (reference :210 returns all four maps for
+    exactly that use). The 1/8-scale bottleneck, depth-resized back to the
+    frame count, is the cycle-feature tap."""
+
+    cfg: ModelConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
+        import jax
+
+        from glfusion_tpu.models.res3dunet import ResUNet3D
+
+        v, b = x.shape[0], x.shape[1]
+        pad = (-b) % 8
+        vol = jnp.pad(x, ((0, 0), (0, pad)) + ((0, 0),) * (x.ndim - 2),
+                      mode="edge")
+        vol = vol[:, None]  # (V, 1, D=b+pad, H, W, C)
+        base = max(self.cfg.stem_width // 4, 2)  # stem 64 → reference 16..256
+        widths = tuple(base * (2 ** i) for i in range(5))
+        net = _per_view(ResUNet3D)(
+            out_channels=self.cfg.num_classes, widths=widths,
+            return_logits=True, return_features=True, name="net")
+        (o1, o2, o3, o4), feat = net(vol, train)
+
+        def frames(o):  # (V, 1, D, H, W, C) → the b real frames
+            return o[:, 0, :b]
+
+        feat = feat[:, 0]  # (V, D/8, h, w, C)
+        if feat.shape[1] != b:  # per-frame cycle features
+            feat = jax.image.resize(feat, (v, b) + feat.shape[2:], "linear")
+        return {"mask": frames(o4), "mask_bb": frames(o4),
+                "mask_aux": tuple(frames(o) for o in (o1, o2, o3)),
+                "f4_global": feat, "f4_local": feat}
+
+
 class _LegacyAdapter(nn.Module):
     """model3..model21 family (models/legacy_variants.py) under the Trainer
     contract; the post-fusion f4 serves as cycle features (what the
@@ -192,6 +261,7 @@ from glfusion_tpu.arch_names import (  # noqa: E402  (re-export)
     AVS_FLAVORS,
     LEGACY_KINDS,
     SEG_ARCHS,
+    UNET_KINDS,
 )
 
 
@@ -212,6 +282,12 @@ def build_seg_model(mcfg: ModelConfig) -> Tuple[nn.Module, bool]:
         return _UTNetAdapter(mcfg), False
     if arch == "cen":
         return _CENAdapter(mcfg), False
+    if arch == "res3dunet":
+        return _Res3DUNetAdapter(mcfg), False
+    if arch.startswith("unet:") and arch[5:] in UNET_KINDS:
+        kind = arch[5:]
+        return _UNetFamilyAdapter(mcfg, recurrent="r2" in kind,
+                                  attention="att" in kind), False
     if arch.startswith("avs_") and arch[4:] in AVS_FLAVORS:
         return _AVSAdapter(mcfg, flavor=arch[4:]), False
     if arch.startswith("legacy:") and arch[7:] in LEGACY_KINDS:

@@ -75,11 +75,20 @@ def _upsample_trilinear(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
 
 class ResUNet3D(nn.Module):
-    """Input (B, D, H, W, C_in) → 4 softmax maps (B, D, H, W, out_channels)."""
+    """Input (B, D, H, W, C_in) → 4 softmax maps (B, D, H, W, out_channels).
+
+    return_logits=True skips the channel softmax (the trainable registry
+    adapter feeds BCE-with-logits, the repo's zoo loss contract);
+    return_features=True additionally returns the 1/8-scale bottleneck
+    (post-dec1 chain) as ``((o1, o2, o3, o4), feat)`` — the cycle-feature
+    tap (the reference never wires this model to training, res3dunet.py:210
+    just returns the maps, so the tap is this repo's train contract)."""
 
     out_channels: int = 2
     widths: tuple = (16, 32, 64, 128, 256)
     drop_rate: float = 0.2
+    return_logits: bool = False
+    return_features: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -102,26 +111,31 @@ class ResUNet3D(nn.Module):
         lr4 = drop(chain(sr3, (w128,) * 3, (3, 4, 5), "enc4") + sr3)
         sr4 = ConvPReLU(w256, name="down4")(lr4)
 
+        act = (lambda y: y) if self.return_logits else (
+            lambda y: nn.softmax(y, -1))
+
         out = drop(chain(lr4, (w256,) * 3, (1, 1, 1), "dec1") + sr4)
-        o1 = nn.softmax(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), name="map1")(out), 8), -1)
+        bottleneck = out
+        o1 = act(_upsample_trilinear(
+            nn.Conv(self.out_channels, (1, 1, 1), name="map1")(out), 8))
 
         sr6 = UpConv(w128, name="up2")(out)
         out = drop(chain(jnp.concatenate([sr6, lr3], -1),
                          (w128,) * 3, (1, 1, 1), "dec2") + sr6)
-        o2 = nn.softmax(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), name="map2")(out), 4), -1)
+        o2 = act(_upsample_trilinear(
+            nn.Conv(self.out_channels, (1, 1, 1), name="map2")(out), 4))
 
         sr7 = UpConv(w64, name="up3")(out)
         out = drop(chain(jnp.concatenate([sr7, lr2], -1),
                          (w64,) * 3, (1, 1, 1), "dec3") + sr7)
-        o3 = nn.softmax(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), name="map3")(out), 2), -1)
+        o3 = act(_upsample_trilinear(
+            nn.Conv(self.out_channels, (1, 1, 1), name="map3")(out), 2))
 
         sr8 = UpConv(w32, name="up4")(out)
         out = chain(jnp.concatenate([sr8, lr1], -1),
                     (w32,) * 2, (1, 1), "dec4") + sr8
-        o4 = nn.softmax(
-            nn.Conv(self.out_channels, (1, 1, 1), name="map4")(out), -1)
+        o4 = act(nn.Conv(self.out_channels, (1, 1, 1), name="map4")(out))
 
+        if self.return_features:
+            return (o1, o2, o3, o4), bottleneck
         return o1, o2, o3, o4

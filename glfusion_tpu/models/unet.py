@@ -138,6 +138,7 @@ class UNet(nn.Module):
     recurrent: bool = False
     attention: bool = False
     t: int = 2
+    return_features: bool = False  # also return the deepest encoder stage
 
     def _block(self, features: int, name: str):
         if self.recurrent:
@@ -145,8 +146,13 @@ class UNet(nn.Module):
         return DoubleConv(features, name=name)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """(B, H, W, C_in) → (B, H, W, out_channels) logits. H, W % 16 == 0."""
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        """(B, H, W, C_in) → (B, H, W, out_channels) logits. H, W % 16 == 0.
+
+        return_features=True → (logits, bottleneck) where bottleneck is the
+        H/16 deepest encoder stage — the cycle-feature tap for the trainable
+        registry adapter (the reference never trains this family, so the
+        tap is this repo's train contract, like models/registry.py's)."""
         widths = tuple(self.widths)
         skips = []
         for i, wdt in enumerate(widths):
@@ -154,6 +160,7 @@ class UNet(nn.Module):
                 x = _max_pool_2x2(x)
             x = self._block(wdt, name=f"enc{i + 1}")(x, train)
             skips.append(x)
+        bottleneck = skips[-1]
 
         for i in range(len(widths) - 2, -1, -1):
             wdt = widths[i]
@@ -165,7 +172,10 @@ class UNet(nn.Module):
             x = jnp.concatenate([skip, x], axis=-1)
             x = self._block(wdt, name=f"dec{i + 2}")(x, train)
 
-        return nn.Conv(self.out_channels, (1, 1), name="head")(x)
+        logits = nn.Conv(self.out_channels, (1, 1), name="head")(x)
+        if self.return_features:
+            return logits, bottleneck
+        return logits
 
 
 def u_net(out_channels: int = 1, **kw) -> UNet:

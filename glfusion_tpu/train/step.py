@@ -135,6 +135,13 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
             for vi in test_idx:
                 seg_loss += bce_with_logits_sum(out["mask"][vi],
                                                 batch["masks"][vi])
+            # deep-supervision heads (res3dunet adapter): every auxiliary
+            # scale's logits sum into the supervised loss (reference
+            # res3dunet.py:210 returns all four maps for exactly this use)
+            for aux in out.get("mask_aux", ()):
+                for vi in test_idx:
+                    seg_loss += bce_with_logits_sum(aux[vi],
+                                                    batch["masks"][vi])
             if cps:
                 # supervised loss on BOTH networks, then cross pseudo
                 # supervision: each net learns the other's hard predictions
@@ -248,6 +255,9 @@ def make_train_step(cfg: Config, model, fuse_preprocess: bool = False,
                 seg = 0.0
                 for vi in test_idx:
                     seg += bce_with_logits_sum(out["mask"][vi], masks[vi])
+                for aux in out.get("mask_aux", ()):  # deep supervision
+                    for vi in test_idx:
+                        seg += bce_with_logits_sum(aux[vi], masks[vi])
                 if cps:
                     pseudo1 = jax.lax.stop_gradient(
                         (out["mask"] > 0.0).astype(masks.dtype))

@@ -305,7 +305,8 @@ def test_model20_multistage_fusion_is_interleaved():
         assert max(float(jnp.abs(x).max()) for x in g) > 0, f"stage {s}"
 
 
-@pytest.mark.parametrize("arch", ["unet", "multiview_unet", "utnet", "cen"])
+@pytest.mark.parametrize("arch", ["unet", "multiview_unet", "utnet", "cen",
+                                  "res3dunet", "unet:plain", "unet:r2att"])
 def test_registry_seg_adapters_meet_trainer_contract(arch):
     """Every --model choice must present the Trainer contract:
     (V,B,H,W,1) → mask (V,B,H,W,5) + cycle features."""
@@ -357,6 +358,9 @@ _NEW_ARCHS = [
     "legacy:none", "legacy:channel_transformer", "legacy:tpavi",
     "legacy:model18", "legacy:model20", "legacy:decouple",
     "legacy:mlp_concat",
+    # r5: the models/unet.py 4-variant family (reference models/unet.py:138/
+    # 204/276/349) and ResUNet3D with deep supervision (res3dunet.py:6,210)
+    "unet:plain", "unet:r2", "unet:att", "unet:r2att", "res3dunet",
 ]
 
 
@@ -403,6 +407,54 @@ def test_registry_arch_trains_one_step(arch):
     after = np.asarray(jax.tree_util.tree_leaves_with_path(
         new_state.params)[0][1])
     assert not np.array_equal(before, after), f"{arch}: params did not move"
+
+
+def test_res3dunet_deep_supervision_reaches_the_loss():
+    """The adapter's coarse heads (mask_aux) must sum into the train loss:
+    map1..3's conv params feed ONLY their own head, so their movement under
+    one real train step ⇔ the deep-supervision terms are wired (reference
+    res3dunet.py:210 returns all four maps for exactly this use)."""
+    from dataclasses import replace
+
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.models.registry import build_seg_model
+    from glfusion_tpu.train.step import make_train_step
+    from glfusion_tpu.train.train_state import TrainState, make_optimizer
+
+    cfg = tiny_config()
+    cfg = replace(cfg, model=replace(cfg.model, arch="res3dunet"))
+    model, _ = build_seg_model(cfg.model)
+    v, b, hw = cfg.model.num_views, 2, cfg.data.crop_hw
+    x = jnp.zeros((v, b, hw, hw, 1), jnp.float32)
+    variables = jax.jit(lambda r: model.init(r, x, False))(
+        jax.random.PRNGKey(0))
+    out = model.apply(variables, x, False)
+    assert len(out["mask_aux"]) == 3
+    assert all(a.shape == out["mask"].shape for a in out["mask_aux"])
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=make_optimizer(cfg, 1))
+    batch = {
+        "images": jnp.asarray(
+            np.random.RandomState(0).rand(v, b, hw, hw, 1), jnp.float32),
+        "masks": jnp.asarray(
+            np.random.RandomState(1).rand(v, b, hw, hw, 5) > 0.5,
+            jnp.float32),
+        "clips": jnp.asarray(
+            np.random.RandomState(2).rand(v, cfg.data.clip_length, hw, hw, 1),
+            jnp.float32),
+    }
+    step = make_train_step(cfg, model)
+    # snapshot to host BEFORE the step: the jitted step donates `state`
+    before = {h: np.asarray(state.params["net"][h]["kernel"]).copy()
+              for h in ("map1", "map2", "map3")}
+    new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    for head, old in before.items():
+        after = np.asarray(new_state.params["net"][head]["kernel"])
+        assert not np.array_equal(old, after), (
+            f"{head} did not move: its deep-supervision loss term is dead")
 
 
 def test_registry_arch_via_trainer_epochs(tmp_path):
