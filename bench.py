@@ -259,14 +259,15 @@ def run_train(batch: int, iters: int, dtype: str = "bfloat16",
 
 
 def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40,
-             samples: int = SAMPLES):
+             samples: int = SAMPLES, dtype: str = "bfloat16"):
     """(frames/s inference, s/step train) for a ZOO architecture under the
     same contracts as the flagship numbers: chained-scan inference at the
     112×112 multi-view input, and the full train step (supervised batch +
     cycle clip via the arch's feature tap, fused device preprocessing,
     Adam). Gives the "whole zoo is trainable" claim perf evidence and makes
-    adapter regressions catchable (BASELINE.md zoo rows). Adapters run in
-    their native f32 (ModelConfig.dtype is plumbed by the flagship only).
+    adapter regressions catchable (BASELINE.md zoo rows). dtype follows the
+    flagship contract (bf16 compute, fp32 params) since r5 — ModelConfig.
+    dtype is threaded through every adapter.
     """
     import dataclasses
 
@@ -279,7 +280,7 @@ def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40,
     cfg = Config()
     cfg = dataclasses.replace(
         cfg,
-        model=dataclasses.replace(cfg.model, arch=arch),
+        model=dataclasses.replace(cfg.model, arch=arch, dtype=dtype),
         data=dataclasses.replace(cfg.data, clip_length=clip_length),
         train=dataclasses.replace(cfg.train, batch_size=batch))
     model, cps = build_seg_model(cfg.model)
@@ -336,12 +337,12 @@ def run_arch(arch: str, batch: int, iters: int, clip_length: int = 40,
 
 
 def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48,
-            samples: int = SAMPLES):
+            samples: int = SAMPLES, dtype: str = "bfloat16"):
     """(clips/s inference, s/step train) for a REGRESSION architecture
     (models/registry.build_reg_model) at the reference's clip contract:
     (V views, crop 112², reg_clip_frames=48 frames — loader.py:157's
     spatial_size through the crop path) → scalar mPAP. Same chained-scan
-    harnesses as the segmentation rows; native f32."""
+    harnesses as the segmentation rows; bf16 compute since r5."""
     from glfusion_tpu.config import Config, default_compiler_options
     from glfusion_tpu.models.registry import build_reg_model
     from glfusion_tpu.train.regression import (make_regression_eval_step,
@@ -351,7 +352,7 @@ def run_reg(arch: str, batch: int, iters: int, clip_frames: int = 48,
 
     compiler_options = default_compiler_options()
     cfg = Config()
-    model, adapter = build_reg_model(arch, cfg.model.num_views)
+    model, adapter = build_reg_model(arch, cfg.model.num_views, dtype=dtype)
     v, c = cfg.model.num_views, cfg.data.crop_hw
     rs = np.random.RandomState(0)
     clips = jnp.asarray(rs.rand(v, batch, c, c, clip_frames), jnp.float32)
@@ -472,7 +473,8 @@ def main() -> None:
             batch=args.batch or (1 if on_cpu else 8),
             iters=args.iters or (2 if on_cpu else 10),
             clip_frames=8 if on_cpu else 48,
-            samples=samples)
+            samples=samples,
+            dtype="float32" if on_cpu else "bfloat16")
         print(json.dumps({
             "metric": f"{args.reg_model}_regression_throughput",
             "value": round(cps, 2),
@@ -489,7 +491,8 @@ def main() -> None:
             batch=args.batch or (2 if on_cpu else 8),
             iters=args.iters or (2 if on_cpu else 10),
             clip_length=4 if on_cpu else 40,
-            samples=samples)
+            samples=samples,
+            dtype="float32" if on_cpu else "bfloat16")
         print(json.dumps({
             "metric": f"{args.model}_inference_throughput",
             "value": round(fps, 2),

@@ -152,8 +152,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--serve-depth", type=int, default=2,
                    help="--mode serve: clips kept in flight on device "
                         "(more hides decode latency, costs HBM)")
-    p.add_argument("--serve-threads", type=int, default=2,
-                   help="--mode serve: host NIfTI decode workers")
+    p.add_argument("--serve-threads", type=int, default=None,
+                   help="--mode serve: host NIfTI decode workers "
+                        "(default: min(4, cpu_count) — serving is "
+                        "host-decode-bound, tools/bench_serve_latency.py)")
     p.add_argument("--http-port", type=int, default=None,
                    help="--mode serve: start an online HTTP inference "
                         "endpoint on this port (POST /predict, GET "
@@ -267,7 +269,7 @@ def _run_regression(args, cfg, data_paths) -> int:
     }
     overrides = tiny_kw[args.reg_model] if args.tiny else {}
     model, adapter = build_reg_model(args.reg_model, cfg.model.num_views,
-                                     **overrides)
+                                     dtype=cfg.model.dtype, **overrides)
     trainer = RegressionTrainer(cfg, model, data_paths,
                                 label_type=args.label_type,
                                 input_adapter=adapter)
@@ -404,10 +406,12 @@ def main(argv=None) -> int:
                    from_export=args.from_export)
     elif args.mode == "serve":
         from glfusion_tpu.serve import serve_test_clips
-        stats = serve_test_clips(trainer, out_dir=args.out_dir,
-                                 depth=args.serve_depth,
-                                 threads=args.serve_threads,
-                                 from_export=args.from_export)
+        import os as _os
+        stats = serve_test_clips(
+            trainer, out_dir=args.out_dir,
+            depth=args.serve_depth,
+            threads=args.serve_threads or min(4, _os.cpu_count() or 1),
+            from_export=args.from_export)
         print(f"served {stats['clips']} clips "
               f"({stats['clips_per_s']} clips/s, {stats['wall_s']} s): "
               f"wrote {stats['written']} prediction volumes")

@@ -41,25 +41,35 @@ _BN = dict(epsilon=1e-5, momentum=0.9)
 class _Bottleneck(nn.Module):
     planes: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         out_ch = self.planes * 4
         residual = x
-        y = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
+        y = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3), strides=(self.strides,) * 2,
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn3", **_BN)(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3",
+                         dtype=self.dtype, **_BN)(y)
         if self.strides != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1), strides=(self.strides,) * 2,
-                               use_bias=False, name="down_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", **_BN)(residual)
+                                    name="down_bn", dtype=self.dtype,
+                                    **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -74,37 +84,39 @@ class B2ResNet(nn.Module):
 
     widths: Sequence[int] = (64, 128, 256, 512)
     blocks: Sequence[int] = (3, 4, 6, 3)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
         w = self.widths
         x = nn.Conv(w[0], (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         x = max_pool_3x3_s2(x)
         for b in range(self.blocks[0]):
-            x = _Bottleneck(w[0], name=f"layer1_b{b}")(x, train)
+            x = _Bottleneck(w[0], dtype=self.dtype, name=f"layer1_b{b}")(x, train)
         x1 = x
         for b in range(self.blocks[1]):
             x = _Bottleneck(w[1], strides=2 if b == 0 else 1,
-                            name=f"layer2_b{b}")(x, train)
+                            dtype=self.dtype, name=f"layer2_b{b}")(x, train)
         x2 = x
         y1, y2 = x, x
         for b in range(self.blocks[2]):
             y1 = _Bottleneck(w[2], strides=2 if b == 0 else 1,
-                             name=f"layer3_1_b{b}")(y1, train)
+                             dtype=self.dtype, name=f"layer3_1_b{b}")(y1, train)
         x3_1 = y1
         for b in range(self.blocks[3]):
             y1 = _Bottleneck(w[3], strides=2 if b == 0 else 1,
-                             name=f"layer4_1_b{b}")(y1, train)
+                             dtype=self.dtype, name=f"layer4_1_b{b}")(y1, train)
         for b in range(self.blocks[2]):
             y2 = _Bottleneck(w[2], strides=2 if b == 0 else 1,
-                             name=f"layer3_2_b{b}")(y2, train)
+                             dtype=self.dtype, name=f"layer3_2_b{b}")(y2, train)
         x3_2 = y2
         for b in range(self.blocks[3]):
             y2 = _Bottleneck(w[3], strides=2 if b == 0 else 1,
-                             name=f"layer4_2_b{b}")(y2, train)
+                             dtype=self.dtype, name=f"layer4_2_b{b}")(y2, train)
         return x1, x2, x3_1, y1, x3_2, y2
 
 
@@ -113,6 +125,7 @@ class ClassifierModule(nn.Module):
 
     features: int
     rates: Sequence[int] = (3, 6, 12, 18)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
@@ -121,18 +134,21 @@ class ClassifierModule(nn.Module):
             out = out + nn.Conv(self.features, (3, 3),
                                 padding=((r, r), (r, r)),
                                 kernel_dilation=(r, r), use_bias=True,
-                                name=f"conv{i}")(x)
+                                dtype=self.dtype, name=f"conv{i}")(x)
         return out
 
 
 class ResidualConvUnit(nn.Module):
+    dtype: str = "float32"
+
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         c = x.shape[-1]
-        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(
-            nn.relu(x))
-        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(
-            nn.relu(y))
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(nn.relu(x))
+        y = nn.Conv(c, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv2")(nn.relu(y))
         return y + x
 
 
@@ -141,18 +157,20 @@ class FeatureFusionBlock(nn.Module):
 
     out_features: int
     target_hw: tuple
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
-            x = x + ResidualConvUnit(name="rcu1")(skip)
-        x = ResidualConvUnit(name="rcu2")(x)
+            x = x.astype(self.dtype) + ResidualConvUnit(
+                dtype=self.dtype, name="rcu1")(skip)
+        x = ResidualConvUnit(dtype=self.dtype, name="rcu2")(x)
         x = nn.relu(x)
         x = nn.Conv(x.shape[-1], (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv1")(x)
+                    dtype=self.dtype, name="conv1")(x)
         x = nn.relu(x)
         x = nn.Conv(self.out_features, (3, 3), padding=((1, 1), (1, 1)),
-                    name="conv2")(x)
+                    dtype=self.dtype, name="conv2")(x)
         return resize_bilinear_ac(x, self.target_hw)
 
 
@@ -160,15 +178,19 @@ class OutputHead(nn.Module):
     """conv→×2 bilinear→conv→ReLU→1×1 to num_classes (reference :185-191)."""
 
     num_classes: int = 5
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), name="conv1")(x)
+        x = nn.Conv(128, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv1")(x)
         h, w = x.shape[-3] * 2, x.shape[-2] * 2
         x = resize_bilinear(x, (h, w))
-        x = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), name="conv2")(x)
+        x = nn.Conv(32, (3, 3), padding=((1, 1), (1, 1)), dtype=self.dtype,
+                    name="conv2")(x)
         x = nn.relu(x)
-        return nn.Conv(self.num_classes, (1, 1), name="out")(x)
+        return nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                       name="out")(x)
 
 
 class ViewChannelTransformer(nn.Module):
@@ -176,6 +198,7 @@ class ViewChannelTransformer(nn.Module):
     self-attention. x: (V, B, h, w, C) → same."""
 
     heads: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -183,21 +206,24 @@ class ViewChannelTransformer(nn.Module):
         n_embd = h * w
         # tokens: (B, V·C, h·w)
         tok = jnp.transpose(x, (1, 0, 4, 2, 3)).reshape(b, v * c, n_embd)
-        q = nn.Dense(n_embd, name="query")(tok)
-        k = nn.Dense(n_embd, name="key")(tok)
-        val = nn.Dense(n_embd, name="value")(tok)
+        tok = tok.astype(self.dtype)  # token residual must not promote
+        q = nn.Dense(n_embd, dtype=self.dtype, name="query")(tok)
+        k = nn.Dense(n_embd, dtype=self.dtype, name="key")(tok)
+        val = nn.Dense(n_embd, dtype=self.dtype, name="value")(tok)
         att = nn.softmax(
-            jnp.einsum("btd,bsd->bts", q, k) / jnp.sqrt(n_embd), -1)
+            jnp.einsum("btd,bsd->bts", q, k)
+            / jnp.sqrt(n_embd).astype(self.dtype), -1)
         y = jnp.einsum("bts,bsd->btd", att, val)
-        y = nn.Dense(n_embd, name="proj")(y)
+        y = nn.Dense(n_embd, dtype=self.dtype, name="proj")(y)
         # BN over the V·C "channel" axis, residual, LayerNorm over channels
         y = nn.BatchNorm(use_running_average=not train, axis=1,
-                         name="bn", **_BN)(y)
+                         dtype=self.dtype, name="bn", **_BN)(y)
         tok = tok + y
         out = tok.reshape(b, v, c, h, w)
         out = jnp.transpose(out, (0, 3, 4, 2, 1))  # (B, h, w, C, V)
         out = nn.LayerNorm(
-            epsilon=1e-5, reduction_axes=(-2, -1), name="norm")(out)
+            epsilon=1e-5, reduction_axes=(-2, -1), dtype=self.dtype,
+            name="norm")(out)
         return jnp.transpose(out, (4, 0, 1, 2, 3))  # (V, B, h, w, C)
 
 
@@ -216,24 +242,28 @@ class PredEndecoder(nn.Module):
     # adapter pools them for the cycle loss (the reference never trains this
     # family, so the feature tap is the TPU-side training contract)
     return_features: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, main, other, train: bool = False):
         main = jnp.repeat(main, 3, axis=-1)
         other = jnp.repeat(other, 3, axis=-1)
-        bb1 = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet")
-        bb2 = B2ResNet(tuple(self.widths), tuple(self.blocks), name="resnet2")
+        bb1 = B2ResNet(tuple(self.widths), tuple(self.blocks),
+                       dtype=self.dtype, name="resnet")
+        bb2 = B2ResNet(tuple(self.widths), tuple(self.blocks),
+                       dtype=self.dtype, name="resnet2")
         x1, x2, x3, x4, _, _ = bb1(main, train)
         o1, o2, o3, o4, _, _ = bb2(other, train)
         feats = [x1, x2, x3, x4]
         ofeats = [o1, o2, o3, o4]
-        heads = [ClassifierModule(self.channel, name=f"conv{i + 1}")
+        heads = [ClassifierModule(self.channel, dtype=self.dtype,
+                                  name=f"conv{i + 1}")
                  for i in range(4)]
         fm = [heads[i](feats[i]) for i in range(4)]
         om = [heads[i](ofeats[i]) for i in range(4)]
 
         for i in self.tpavi_stages:
-            attn = TPAVI(name=f"tpavi_b{i + 1}")
+            attn = TPAVI(dtype=self.dtype, name=f"tpavi_b{i + 1}")
             q = fm[i][:, None]  # (B, 1, h, w, C)
             kv = om[i][:, None]
             fm[i] = attn(q, train, kv)[:, 0]
@@ -242,11 +272,16 @@ class PredEndecoder(nn.Module):
         t3 = fm[1].shape[1:3]
         t2 = fm[0].shape[1:3]
         t1 = (fm[0].shape[1] * 2, fm[0].shape[2] * 2)
-        y = FeatureFusionBlock(self.channel, t4, name="path4")(fm[3])
-        y = FeatureFusionBlock(self.channel, t3, name="path3")(y, fm[2])
-        y = FeatureFusionBlock(self.channel, t2, name="path2")(y, fm[1])
-        y = FeatureFusionBlock(self.channel, t1, name="path1")(y, fm[0])
-        out = OutputHead(self.num_classes, name="output_conv")(y)
+        y = FeatureFusionBlock(self.channel, t4, dtype=self.dtype,
+                               name="path4")(fm[3])
+        y = FeatureFusionBlock(self.channel, t3, dtype=self.dtype,
+                               name="path3")(y, fm[2])
+        y = FeatureFusionBlock(self.channel, t2, dtype=self.dtype,
+                               name="path2")(y, fm[1])
+        y = FeatureFusionBlock(self.channel, t1, dtype=self.dtype,
+                               name="path1")(y, fm[0])
+        out = OutputHead(self.num_classes, dtype=self.dtype,
+                         name="output_conv")(y)
         if self.return_features:
             return out, fm[3]
         return out
@@ -274,6 +309,7 @@ class AVSTransfusion(nn.Module):
     # also return the deepest (post-fusion) stage features (V, B, h, w, C)
     # for the registry adapter's cycle-loss pooling
     return_features: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -281,12 +317,14 @@ class AVSTransfusion(nn.Module):
         x = jnp.repeat(x, 3, axis=-1)
         if self.per_view_params:
             bbs = [B2ResNet(tuple(self.widths), tuple(self.blocks),
+                            dtype=self.dtype,
                             name=f"resnet_{vi}") for vi in range(v)]
         else:
             shared = B2ResNet(tuple(self.widths), tuple(self.blocks),
-                              name="resnet")
+                              dtype=self.dtype, name="resnet")
             bbs = [shared] * v
-        heads = [ClassifierModule(self.channel, name=f"conv{i + 1}")
+        heads = [ClassifierModule(self.channel, dtype=self.dtype,
+                                  name=f"conv{i + 1}")
                  for i in range(4)]
 
         fm = [[] for _ in range(4)]
@@ -299,22 +337,27 @@ class AVSTransfusion(nn.Module):
 
         for i in self.fuse_stages:
             if self.fusion == "tpavi":
-                attn = TPAVI(name=f"tpavi_b{i + 1}")
+                attn = TPAVI(dtype=self.dtype, name=f"tpavi_b{i + 1}")
                 fm[i] = jnp.swapaxes(
                     attn(jnp.swapaxes(fm[i], 0, 1), train), 0, 1)
             else:
                 fm[i] = ViewChannelTransformer(
-                    name=f"attn{i + 1}")(fm[i], train)
+                    dtype=self.dtype, name=f"attn{i + 1}")(fm[i], train)
 
         t4 = fm[2].shape[2:4]
         t3 = fm[1].shape[2:4]
         t2 = fm[0].shape[2:4]
         t1 = (fm[0].shape[2] * 2, fm[0].shape[3] * 2)
-        paths = [FeatureFusionBlock(self.channel, t4, name="path4"),
-                 FeatureFusionBlock(self.channel, t3, name="path3"),
-                 FeatureFusionBlock(self.channel, t2, name="path2"),
-                 FeatureFusionBlock(self.channel, t1, name="path1")]
-        head = OutputHead(self.num_classes, name="output_conv")
+        paths = [FeatureFusionBlock(self.channel, t4, dtype=self.dtype,
+                                    name="path4"),
+                 FeatureFusionBlock(self.channel, t3, dtype=self.dtype,
+                                    name="path3"),
+                 FeatureFusionBlock(self.channel, t2, dtype=self.dtype,
+                                    name="path2"),
+                 FeatureFusionBlock(self.channel, t1, dtype=self.dtype,
+                                    name="path1")]
+        head = OutputHead(self.num_classes, dtype=self.dtype,
+                          name="output_conv")
         outs = []
         for vi in range(v):
             y = paths[0](fm[3][vi])
@@ -343,15 +386,17 @@ class AVSBaseline(nn.Module):
     # deepest-stage features (V, B, h, w, C) for the registry adapter's
     # cycle-loss pooling (the reference never trains this family)
     return_features: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         v = x.shape[0]
         x = jnp.repeat(x, 3, axis=-1)
         shared = B2ResNet(tuple(self.widths), tuple(self.blocks),
-                          name="resnet")
+                          dtype=self.dtype, name="resnet")
         ch = [wd * 4 for wd in self.widths]  # bottleneck expansion ×4
-        heads = [ClassifierModule(ch[i], name=f"conv{i + 1}")
+        heads = [ClassifierModule(ch[i], dtype=self.dtype,
+                                  name=f"conv{i + 1}")
                  for i in range(4)]
         fm = [[] for _ in range(4)]
         for vi in range(v):
@@ -367,11 +412,16 @@ class AVSBaseline(nn.Module):
         t1 = (fm[0].shape[2] * 2, fm[0].shape[3] * 2)
         # skip-add requires path_i's output width == stage_(i-1)'s head
         # width, which the narrowing chain guarantees (:915-918)
-        paths = [FeatureFusionBlock(ch[2], t4, name="path4"),
-                 FeatureFusionBlock(ch[1], t3, name="path3"),
-                 FeatureFusionBlock(ch[0], t2, name="path2"),
-                 FeatureFusionBlock(ch[0], t1, name="path1")]
-        head = OutputHead(self.num_classes, name="output_conv")
+        paths = [FeatureFusionBlock(ch[2], t4, dtype=self.dtype,
+                                    name="path4"),
+                 FeatureFusionBlock(ch[1], t3, dtype=self.dtype,
+                                    name="path3"),
+                 FeatureFusionBlock(ch[0], t2, dtype=self.dtype,
+                                    name="path2"),
+                 FeatureFusionBlock(ch[0], t1, dtype=self.dtype,
+                                    name="path1")]
+        head = OutputHead(self.num_classes, dtype=self.dtype,
+                          name="output_conv")
         outs = []
         for vi in range(v):
             y = paths[0](fm[3][vi])

@@ -44,6 +44,7 @@ class SharedConv(nn.Module):
     kernel: int = 3
     strides: int = 1
     use_bias: bool = False
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (S, B, H, W, C)
@@ -52,6 +53,7 @@ class SharedConv(nn.Module):
         y = nn.Conv(self.features, (self.kernel, self.kernel),
                     strides=(self.strides,) * 2,
                     padding=((p, p), (p, p)), use_bias=self.use_bias,
+                    dtype=self.dtype,
                     name="conv")(x.reshape((s * b,) + x.shape[2:]))
         return y.reshape((s, b) + y.shape[1:])
 
@@ -65,6 +67,7 @@ class StreamBN(nn.Module):
 
     momentum: float = 0.9
     epsilon: float = 1e-5
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool, return_scale: bool = False):
@@ -76,19 +79,22 @@ class StreamBN(nn.Module):
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((s, c)))
         if train:
+            # moments + running stats stay fp32 (flax BatchNorm convention)
+            xf = x.astype(jnp.float32)
             axes = tuple(range(1, x.ndim - 1))  # reduce B, H, W per stream
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
             if not self.is_initializing():
                 m = self.momentum
                 ra_mean.value = m * ra_mean.value + (1 - m) * mean
                 ra_var.value = m * ra_var.value + (1 - m) * var
         else:
             mean, var = ra_mean.value, ra_var.value
+        dt = self.dtype
         shape = (s,) + (1,) * (x.ndim - 2) + (c,)
-        y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
-            var.reshape(shape) + self.epsilon)
-        y = y * scale.reshape(shape) + bias.reshape(shape)
+        y = (x.astype(dt) - mean.astype(dt).reshape(shape)) * jax.lax.rsqrt(
+            var.astype(dt).reshape(shape) + jnp.asarray(self.epsilon, dt))
+        y = y * scale.astype(dt).reshape(shape) + bias.astype(dt).reshape(shape)
         return (y, scale) if return_scale else y
 
 
@@ -113,25 +119,30 @@ class CENBottleneck(nn.Module):
     planes: int
     strides: int = 1
     bn_threshold: float = 2e-2
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         out_ch = self.planes * 4
         residual = x
-        y = SharedConv(self.planes, 1, name="conv1")(x)
-        y = StreamBN(name="bn1")(y, train)
+        y = SharedConv(self.planes, 1, dtype=self.dtype, name="conv1")(x)
+        y = StreamBN(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
-        y = SharedConv(self.planes, 3, strides=self.strides, name="conv2")(y)
-        y, scales = StreamBN(name="bn2")(y, train, return_scale=True)
+        y = SharedConv(self.planes, 3, strides=self.strides,
+                       dtype=self.dtype, name="conv2")(y)
+        y, scales = StreamBN(dtype=self.dtype,
+                             name="bn2")(y, train, return_scale=True)
         if x.shape[0] > 1:  # single-stream: exchange is the identity
             y = _exchange(y, scales, self.bn_threshold)
         y = nn.relu(y)
-        y = SharedConv(out_ch, 1, name="conv3")(y)
-        y = StreamBN(name="bn3")(y, train)
+        y = SharedConv(out_ch, 1, dtype=self.dtype, name="conv3")(y)
+        y = StreamBN(dtype=self.dtype, name="bn3")(y, train)
         if self.strides != 1 or x.shape[-1] != out_ch:
             residual = SharedConv(out_ch, 1, strides=self.strides,
-                                  name="down_conv")(x)
-            residual = StreamBN(name="down_bn")(residual, train)
+                                  dtype=self.dtype, name="down_conv")(x)
+            residual = StreamBN(dtype=self.dtype,
+                                name="down_bn")(residual, train)
         return nn.relu(y + residual)
 
 
@@ -140,14 +151,17 @@ class RCU(nn.Module):
 
     features: int
     num_blocks: int = 2
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         for i in range(self.num_blocks):
             residual = x
-            x = SharedConv(self.features, 3, use_bias=True,
+            x = SharedConv(self.features, 3, use_bias=True, dtype=self.dtype,
                            name=f"b{i}_conv0")(nn.relu(x))
             x = SharedConv(self.features, 3, use_bias=False,
+                           dtype=self.dtype,
                            name=f"b{i}_conv1")(nn.relu(x))
             x = x + residual
         return x
@@ -158,9 +172,11 @@ class CRP(nn.Module):
 
     features: int
     num_stages: int = 4
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
+        x = x.astype(self.dtype)
         top = x
         for i in range(self.num_stages):
             s, b = top.shape[:2]
@@ -168,7 +184,8 @@ class CRP(nn.Module):
             flat = nn.max_pool(flat, (5, 5), strides=(1, 1),
                                padding=((2, 2), (2, 2)))
             top = flat.reshape(top.shape)
-            top = SharedConv(self.features, 3, name=f"s{i}_conv")(top)
+            top = SharedConv(self.features, 3, dtype=self.dtype,
+                             name=f"s{i}_conv")(top)
             x = x + top
         return x
 
@@ -184,6 +201,7 @@ class CENRefineNet(nn.Module):
     block_sizes: Sequence[int] = (3, 4, 6, 3)
     bn_threshold: float = 2e-2
     dropout: float = 0.5
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -195,8 +213,8 @@ class CENRefineNet(nn.Module):
             f = max_pool_3x3_s2(f)
             return f.reshape((s, t.shape[1]) + f.shape[1:])
 
-        y = SharedConv(64, 7, strides=2, name="conv1")(x)
-        y = StreamBN(name="bn1")(y, train)
+        y = SharedConv(64, 7, strides=2, dtype=self.dtype, name="conv1")(x)
+        y = StreamBN(dtype=self.dtype, name="bn1")(y, train)
         y = nn.relu(y)
         y = flat_pool(y)
 
@@ -207,6 +225,7 @@ class CENRefineNet(nn.Module):
             for b in range(blocks):
                 y = CENBottleneck(p, strides=stride if b == 0 else 1,
                                   bn_threshold=self.bn_threshold,
+                                  dtype=self.dtype,
                                   name=f"layer{li + 1}_b{b}")(y, train)
             feats.append(y)
         l1, l2, l3, l4 = feats
@@ -218,42 +237,42 @@ class CENRefineNet(nn.Module):
             # per-stream bilinear align_corners=True to ref's spatial size
             return jax.vmap(lambda a: resize_bilinear_ac(a, ref.shape[2:4]))(t)
 
-        x4 = SharedConv(512, 3, name="outl1_dimred")(l4)
-        x4 = RCU(512, 2, name="adapt1")(x4)
+        x4 = SharedConv(512, 3, dtype=self.dtype, name="outl1_dimred")(l4)
+        x4 = RCU(512, 2, dtype=self.dtype, name="adapt1")(x4)
         x4 = nn.relu(x4)
-        x4 = CRP(512, 4, name="crp1")(x4)
-        x4 = RCU(512, 3, name="rcu1")(x4)
-        x4 = SharedConv(256, 3, name="varout1")(x4)
+        x4 = CRP(512, 4, dtype=self.dtype, name="crp1")(x4)
+        x4 = RCU(512, 3, dtype=self.dtype, name="rcu1")(x4)
+        x4 = SharedConv(256, 3, dtype=self.dtype, name="varout1")(x4)
         x4 = up_to(x4, l3)
 
-        x3 = SharedConv(256, 3, name="outl2_dimred")(l3)
-        x3 = RCU(256, 2, name="adapt2")(x3)
-        x3 = SharedConv(256, 3, name="adapt2_varout")(x3)
+        x3 = SharedConv(256, 3, dtype=self.dtype, name="outl2_dimred")(l3)
+        x3 = RCU(256, 2, dtype=self.dtype, name="adapt2")(x3)
+        x3 = SharedConv(256, 3, dtype=self.dtype, name="adapt2_varout")(x3)
         x3 = nn.relu(x3 + x4)
-        x3 = CRP(256, 4, name="crp2")(x3)
-        x3 = RCU(256, 3, name="rcu2")(x3)
-        x3 = SharedConv(256, 3, name="varout2")(x3)
+        x3 = CRP(256, 4, dtype=self.dtype, name="crp2")(x3)
+        x3 = RCU(256, 3, dtype=self.dtype, name="rcu2")(x3)
+        x3 = SharedConv(256, 3, dtype=self.dtype, name="varout2")(x3)
         x3 = up_to(x3, l2)
 
-        x2 = SharedConv(256, 3, name="outl3_dimred")(l2)
-        x2 = RCU(256, 2, name="adapt3")(x2)
-        x2 = SharedConv(256, 3, name="adapt3_varout")(x2)
+        x2 = SharedConv(256, 3, dtype=self.dtype, name="outl3_dimred")(l2)
+        x2 = RCU(256, 2, dtype=self.dtype, name="adapt3")(x2)
+        x2 = SharedConv(256, 3, dtype=self.dtype, name="adapt3_varout")(x2)
         x2 = nn.relu(x2 + x3)
-        x2 = CRP(256, 4, name="crp3")(x2)
-        x2 = RCU(256, 3, name="rcu3")(x2)
-        x2 = SharedConv(256, 3, name="varout3")(x2)
+        x2 = CRP(256, 4, dtype=self.dtype, name="crp3")(x2)
+        x2 = RCU(256, 3, dtype=self.dtype, name="rcu3")(x2)
+        x2 = SharedConv(256, 3, dtype=self.dtype, name="varout3")(x2)
         x2 = up_to(x2, l1)
 
-        x1 = SharedConv(256, 3, name="outl4_dimred")(l1)
-        x1 = RCU(256, 2, name="adapt4")(x1)
-        x1 = SharedConv(256, 3, name="adapt4_varout")(x1)
+        x1 = SharedConv(256, 3, dtype=self.dtype, name="outl4_dimred")(l1)
+        x1 = RCU(256, 2, dtype=self.dtype, name="adapt4")(x1)
+        x1 = SharedConv(256, 3, dtype=self.dtype, name="adapt4_varout")(x1)
         x1 = nn.relu(x1 + x2)
-        x1 = CRP(256, 4, name="crp4")(x1)
-        x1 = RCU(256, 3, name="rcu4")(x1)
+        x1 = CRP(256, 4, dtype=self.dtype, name="crp4")(x1)
+        x1 = RCU(256, 3, dtype=self.dtype, name="rcu4")(x1)
         x1 = drop(x1)
 
         logits = SharedConv(self.num_classes, 3, use_bias=True,
-                            name="clf")(x1)  # (S, B, h, w, classes)
+                            dtype=self.dtype, name="clf")(x1)  # (S, B, h, w, classes)
 
         alpha = self.param("alpha", nn.initializers.ones, (s,))
         alpha_soft = nn.softmax(alpha)

@@ -72,10 +72,12 @@ class PointwiseConv(nn.Module):
     """1×1 conv with a (x, train) signature so it lifts under ``_per_view``."""
 
     features: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        return nn.Conv(self.features, (1, 1), name="conv")(x)
+        return nn.Conv(self.features, (1, 1), dtype=self.dtype,
+                       name="conv")(x)
 
 
 class GlobalAndLocal(nn.Module):

@@ -112,7 +112,7 @@ class LegacyMultiviewSeg(nn.Module):
                 f"use fusion_stages=(4,)")
 
         def fuse_tpavi(f, name):
-            attn = TPAVI(name=name)
+            attn = TPAVI(dtype=cfg.dtype, name=name)
             return jnp.swapaxes(attn(jnp.swapaxes(f, 0, 1), train), 0, 1)
 
         def lift(mod_cls, name, **kw):
@@ -158,7 +158,8 @@ class LegacyMultiviewSeg(nn.Module):
         if self.fusion == "none":
             f4_fusion = feats
         elif self.fusion == "channel_transformer":
-            f4_fusion = ViewChannelTransformer(name="attn4")(feats, train)
+            f4_fusion = ViewChannelTransformer(
+                dtype=cfg.dtype, name="attn4")(feats, train)
         elif self.fusion == "mlp_concat":
             # MLP_fusion: per-view 1×1 conv over the channel-concat of all
             # views' f4 (reference :1053-1056, :1090-1094)
@@ -166,20 +167,24 @@ class LegacyMultiviewSeg(nn.Module):
             cat = jnp.broadcast_to(cat[None], (v,) + cat.shape)
             from glfusion_tpu.models.glfusion import PointwiseConv
             f4_fusion = _per_view(PointwiseConv)(
-                features=feats.shape[-1], name="fc")(cat, train)
+                features=feats.shape[-1], dtype=cfg.dtype,
+                name="fc")(cat, train)
         elif self.fusion == "tpavi":
             f4_fusion = fuse_tpavi(feats, "non_local")
         elif self.fusion == "decouple_tpavi":
             # model21: per-view consistent/complementary 1×1 conv + BN
             def proj(name):
                 class _Proj(nn.Module):
+                    dtype: str = "float32"
+
                     @nn.compact
                     def __call__(self, f, train: bool):
-                        y = nn.Conv(f.shape[-1], (1, 1), name="conv")(f)
+                        y = nn.Conv(f.shape[-1], (1, 1), dtype=self.dtype,
+                                    name="conv")(f)
                         return nn.BatchNorm(
                             use_running_average=not train, name="bn",
-                            **_BN)(y)
-                return _per_view(_Proj)(name=name)
+                            dtype=self.dtype, **_BN)(y)
+                return _per_view(_Proj)(dtype=cfg.dtype, name=name)
 
             consistent = proj("consistent_conv")(feats, train)
             complementary = proj("complementary_conv")(feats, train)

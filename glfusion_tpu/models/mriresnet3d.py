@@ -35,9 +35,11 @@ class _Block3D(nn.Module):
     kind: str  # 'basic' | 'bottleneck'
     strides: int = 1
     dilation: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         d = self.dilation
         out_ch = self.planes * (4 if self.kind == "bottleneck" else 1)
         residual = x
@@ -45,37 +47,37 @@ class _Block3D(nn.Module):
         if self.kind == "basic":
             y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
                         padding=((d, d),) * 3, kernel_dilation=(d,) * 3,
-                        use_bias=False, name="conv1")(x)
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
             y = nn.BatchNorm(use_running_average=not train, name="bn1",
-                             **_BN)(y)
+                             dtype=self.dtype, **_BN)(y)
             y = nn.relu(y)
             y = nn.Conv(self.planes, (3, 3, 3), padding=((d, d),) * 3,
                         kernel_dilation=(d,) * 3, use_bias=False,
-                        name="conv2")(y)
+                        dtype=self.dtype, name="conv2")(y)
             y = nn.BatchNorm(use_running_average=not train, name="bn2",
-                             **_BN)(y)
+                             dtype=self.dtype, **_BN)(y)
         else:
             y = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
-                        name="conv1")(x)
+                        dtype=self.dtype, name="conv1")(x)
             y = nn.BatchNorm(use_running_average=not train, name="bn1",
-                             **_BN)(y)
+                             dtype=self.dtype, **_BN)(y)
             y = nn.relu(y)
             y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
                         padding=((d, d),) * 3, kernel_dilation=(d,) * 3,
-                        use_bias=False, name="conv2")(y)
+                        use_bias=False, dtype=self.dtype, name="conv2")(y)
             y = nn.BatchNorm(use_running_average=not train, name="bn2",
-                             **_BN)(y)
+                             dtype=self.dtype, **_BN)(y)
             y = nn.relu(y)
-            y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, name="conv3")(y)
+            y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
             y = nn.BatchNorm(use_running_average=not train, name="bn3",
-                             **_BN)(y)
+                             dtype=self.dtype, **_BN)(y)
 
         if self.strides != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
-                               name="down_conv")(x)
+                               dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", **_BN)(residual)
+                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -87,13 +89,14 @@ class MRIResNet3D(nn.Module):
     num_seg_classes: int = 1
     widths: Sequence[int] = (64, 128, 256, 512)
     pool_head: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         kind, layers = DEPTH_TABLE[self.depth]
         x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2),
-                    padding=((3, 3),) * 3, use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(x)
+                    padding=((3, 3),) * 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)
         stage_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))  # (stride, dilation)
@@ -101,23 +104,24 @@ class MRIResNet3D(nn.Module):
             stride, dil = stage_cfg[li]
             for b in range(blocks):
                 x = _Block3D(planes, kind, strides=stride if b == 0 else 1,
-                             dilation=dil,
+                             dilation=dil, dtype=self.dtype,
                              name=f"layer{li + 1}_b{b}")(x, train)
         if self.pool_head:
             return jnp.mean(x, axis=(1, 2, 3))  # (B, C)
         # conv_seg head (reference :147-171)
         y = nn.ConvTranspose(32, (2, 2, 2), strides=(2, 2, 2),
-                             padding="VALID", name="seg_deconv")(x)
+                             padding="VALID", dtype=self.dtype,
+                             name="seg_deconv")(x)
         y = nn.BatchNorm(use_running_average=not train, name="seg_bn1",
-                         **_BN)(y)
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(32, (3, 3, 3), padding=((1, 1),) * 3, use_bias=False,
-                    name="seg_conv")(y)
+                    dtype=self.dtype, name="seg_conv")(y)
         y = nn.BatchNorm(use_running_average=not train, name="seg_bn2",
-                         **_BN)(y)
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         return nn.Conv(self.num_seg_classes, (1, 1, 1), use_bias=False,
-                       name="seg_out")(y)
+                       dtype=self.dtype, name="seg_out")(y)
 
 
 class Resnet50PFS(nn.Module):
@@ -132,17 +136,19 @@ class Resnet50PFS(nn.Module):
     main_depth: int = 101
     proj_depth: int = 18
     widths: Sequence[int] = (64, 128, 256, 512)
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         b, m = x.shape[0], x.shape[1]
         flat = x.reshape((b * m,) + x.shape[2:] + (1,))  # fold modalities
         seg = MRIResNet3D(depth=self.main_depth, num_seg_classes=1,
-                          widths=tuple(self.widths),
+                          widths=tuple(self.widths), dtype=self.dtype,
                           name="model")(flat, train)
         feats = MRIResNet3D(depth=self.proj_depth, pool_head=True,
-                            widths=tuple(self.widths),
+                            widths=tuple(self.widths), dtype=self.dtype,
                             name="conv_projection")(seg, train)  # (B·M, 512)
         feats = feats.reshape(b, m * feats.shape[-1])
-        out = nn.Dense(self.n_outputs, name="fc_projection")(feats)
+        out = nn.Dense(self.n_outputs, dtype=self.dtype,
+                       name="fc_projection")(feats)
         return out, seg

@@ -38,6 +38,7 @@ def _per_view(module_cls):
 
 class _Encoder(nn.Module):
     widths: Sequence[int]
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
@@ -45,7 +46,7 @@ class _Encoder(nn.Module):
         for i, w in enumerate(self.widths):
             if i > 0:
                 x = _max_pool_2x2(x)
-            x = DoubleConv(w, name=f"enc{i + 1}")(x, train)
+            x = DoubleConv(w, dtype=self.dtype, name=f"enc{i + 1}")(x, train)
             skips.append(x)
         return tuple(skips)
 
@@ -53,16 +54,20 @@ class _Encoder(nn.Module):
 class _Decoder(nn.Module):
     widths: Sequence[int]
     out_channels: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, skips, train: bool):
         widths = tuple(self.widths)
         x = skips[-1]
         for i in range(len(widths) - 2, -1, -1):
-            x = UpConv(widths[i], name=f"up{i + 2}")(x, train)
+            x = UpConv(widths[i], dtype=self.dtype,
+                       name=f"up{i + 2}")(x, train)
             x = jnp.concatenate([skips[i], x], axis=-1)
-            x = DoubleConv(widths[i], name=f"dec{i + 2}")(x, train)
-        return nn.Conv(self.out_channels, (1, 1), name="head")(x)
+            x = DoubleConv(widths[i], dtype=self.dtype,
+                           name=f"dec{i + 2}")(x, train)
+        return nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                       name="head")(x)
 
 
 class MultiviewUNet(nn.Module):
@@ -76,18 +81,20 @@ class MultiviewUNet(nn.Module):
     num_classes: int = 5
     widths: Sequence[int] = (64, 128, 256, 512, 1024)
     fuse: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, Any]:
         skips = _per_view(_Encoder)(widths=tuple(self.widths),
-                                    name="encoder")(x, train)
+                                    dtype=self.dtype, name="encoder")(x, train)
         x5 = skips[-1]  # (V, B, h, w, widths[-1])
         if self.fuse:
-            attn = TPAVI(name="global_attn")
+            attn = TPAVI(dtype=self.dtype, name="global_attn")
             x5 = jnp.swapaxes(
                 attn(jnp.swapaxes(x5, 0, 1), train), 0, 1)
             skips = skips[:-1] + (x5,)
         mask = _per_view(_Decoder)(widths=tuple(self.widths),
                                    out_channels=self.num_classes,
+                                   dtype=self.dtype,
                                    name="decoder")(skips, train)
         return {"mask": mask, "bottleneck": x5}

@@ -33,42 +33,47 @@ class Conv2Plus1D(nn.Module):
     features: int
     midplanes: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
         s = self.strides
         x = nn.Conv(self.midplanes, (1, 3, 3), strides=(1, s, s),
                     padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
-                    name="spatial")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn", **_BN)(x)
+                    dtype=self.dtype, name="spatial")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn", dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         return nn.Conv(self.features, (3, 1, 1), strides=(s, 1, 1),
                        padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
-                       name="temporal")(x)
+                       dtype=self.dtype, name="temporal")(x)
 
 
 class R2Plus1DBlock(nn.Module):
     planes: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         # ONE midplanes from (inplanes, planes), reused by BOTH convs —
         # reference rnet2dp1.py:89-99 (and torchvision) compute it once,
         # so conv2's bottleneck width follows the block's INPUT channels
         mid = _midplanes(x.shape[-1], self.planes)
         residual = x
-        y = Conv2Plus1D(self.planes, mid, self.strides, name="conv1")(x, train)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
+        y = Conv2Plus1D(self.planes, mid, self.strides, dtype=self.dtype,
+                        name="conv1")(x, train)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
-        y = Conv2Plus1D(self.planes, mid, name="conv2")(y, train)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
+        y = Conv2Plus1D(self.planes, mid, dtype=self.dtype,
+                        name="conv2")(y, train)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
         if self.strides != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
-                               name="down_conv")(x)
+                               dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", **_BN)(residual)
+                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -83,31 +88,32 @@ class R2Plus1D18(nn.Module):
     layers: Sequence[int] = (2, 2, 2, 2)
     widths: Sequence[int] = (64, 128, 256, 512)
     return_features: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # stem (R2Plus1dStem, 1-ch echo variant)
         x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
                     padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
-                    name="stem_spatial")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="stem_bn1",
-                         **_BN)(x)
+                    dtype=self.dtype, name="stem_spatial")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn1", dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         x = nn.Conv(self.widths[0], (3, 1, 1),
                     padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
-                    name="stem_temporal")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="stem_bn2",
-                         **_BN)(x)
+                    dtype=self.dtype, name="stem_temporal")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn2", dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
 
         for li, (planes, blocks) in enumerate(zip(self.widths, self.layers)):
             stride = 1 if li == 0 else 2
             for b in range(blocks):
                 x = R2Plus1DBlock(planes, strides=stride if b == 0 else 1,
+                                  dtype=self.dtype,
                                   name=f"layer{li + 1}_b{b}")(x, train)
 
         feat = jnp.mean(x, axis=(1, 2, 3))  # (B, C)
-        logits = nn.Dense(self.num_classes, name="fc")(feat)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="fc")(feat)
         if self.return_features:
             return logits, feat
         return logits

@@ -45,7 +45,8 @@ class _MultiviewUNetAdapter(nn.Module):
         # stem_width 64 reproduces the reference widths (64..1024)
         widths = tuple(self.cfg.stem_width * (2 ** i) for i in range(5))
         out = MultiviewUNet(num_classes=self.cfg.num_classes, widths=widths,
-                            fuse=self.fuse, name="net")(x, train)
+                            fuse=self.fuse, dtype=self.cfg.dtype,
+                            name="net")(x, train)
         return {"mask": out["mask"], "mask_bb": out["mask"],
                 "f4_global": out["bottleneck"], "f4_local": out["bottleneck"]}
 
@@ -65,7 +66,7 @@ class _UTNetAdapter(nn.Module):
             num_classes=self.cfg.num_classes,
             base=max(self.cfg.stem_width // 2, 2),
             reduce_size=reduce_size,
-            return_features=True, name="net")
+            return_features=True, dtype=self.cfg.dtype, name="net")
         mask, bott = net(x, train)
         return {"mask": mask, "mask_bb": mask,
                 "f4_global": bott, "f4_local": bott}
@@ -84,7 +85,8 @@ class _CENAdapter(nn.Module):
 
         hh, ww = x.shape[2], x.shape[3]
         logits, ens, alpha = CENRefineNet(
-            num_classes=self.cfg.num_classes, name="net")(x, train)
+            num_classes=self.cfg.num_classes, dtype=self.cfg.dtype,
+            name="net")(x, train)
         mask = resize_bilinear(logits, (hh, ww))
         return {"mask": mask, "mask_bb": mask,
                 "f4_global": logits, "f4_local": logits,
@@ -123,7 +125,7 @@ class _AVSAdapter(nn.Module):
                   num_classes=self.cfg.num_classes,
                   widths=tuple(self.cfg.widths),
                   blocks=tuple(self.cfg.block_sizes),
-                  return_features=True)
+                  return_features=True, dtype=self.cfg.dtype)
         if self.flavor == "baseline":
             # identity-width heads + narrowing decoder — widths come from
             # the backbone, not the uniform `channel` (AVS_baseline :804-812)
@@ -131,7 +133,8 @@ class _AVSAdapter(nn.Module):
                 num_classes=self.cfg.num_classes,
                 widths=tuple(self.cfg.widths),
                 blocks=tuple(self.cfg.block_sizes),
-                return_features=True, name="net")(x, train)
+                return_features=True, dtype=self.cfg.dtype,
+                name="net")(x, train)
         elif self.flavor == "pred_endecoder":
             net = PredEndecoder(**kw, name="net")
             v = x.shape[0]
@@ -174,7 +177,7 @@ class _UNetFamilyAdapter(nn.Module):
         net = _per_view(UNet)(
             out_channels=self.cfg.num_classes, widths=widths,
             recurrent=self.recurrent, attention=self.attention,
-            return_features=True, name="net")
+            return_features=True, dtype=self.cfg.dtype, name="net")
         mask, bott = net(x, train)
         return {"mask": mask, "mask_bb": mask,
                 "f4_global": bott, "f4_local": bott}
@@ -209,7 +212,8 @@ class _Res3DUNetAdapter(nn.Module):
         widths = tuple(base * (2 ** i) for i in range(5))
         net = _per_view(ResUNet3D)(
             out_channels=self.cfg.num_classes, widths=widths,
-            return_logits=True, return_features=True, name="net")
+            return_logits=True, return_features=True,
+            dtype=self.cfg.dtype, name="net")
         (o1, o2, o3, o4), feat = net(vol, train)
 
         def frames(o):  # (V, 1, D, H, W, C) → the b real frames
@@ -310,9 +314,13 @@ def _views_axis(clips: jnp.ndarray) -> jnp.ndarray:
 REG_ARCHS = ("resnet50pah", "r2plus1d", "timesformer", "resnet50pfs")
 
 
-def build_reg_model(name: str, num_views: int,
+def build_reg_model(name: str, num_views: int, dtype: str = "float32",
                     **overrides) -> Tuple[nn.Module, Callable]:
-    """(module, input_adapter) for the RegressionTrainer."""
+    """(module, input_adapter) for the RegressionTrainer.
+
+    dtype: compute dtype threaded into the architecture (params stay fp32)
+    — the same ``ModelConfig.dtype`` contract as the segmentation zoo."""
+    overrides = dict(overrides, dtype=dtype)
     if name == "resnet50pah":
         from glfusion_tpu.models.resnet3d import Resnet50PAH
         return Resnet50PAH(**overrides), _views_to_channels

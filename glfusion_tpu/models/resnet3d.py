@@ -42,42 +42,45 @@ class ECALayer(nn.Module):
     """Efficient Channel Attention (reference resnet3d.py:11-34)."""
 
     k_size: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):  # (B, D, H, W, C)
-        y = jnp.mean(x, axis=(1, 2, 3))  # (B, C)
+        y = jnp.mean(x, axis=(1, 2, 3)).astype(self.dtype)  # (B, C)
         w = self.param("conv_kernel", nn.initializers.lecun_normal(),
                        (self.k_size, 1, 1))
         y = jax.lax.conv_general_dilated(
-            y[:, :, None], w, window_strides=(1,),
+            y[:, :, None], w.astype(self.dtype), window_strides=(1,),
             padding=((self.k_size // 2, self.k_size // 2),),
             dimension_numbers=("NWC", "WIO", "NWC"))
         gate = nn.sigmoid(y[:, :, 0])  # (B, C)
-        return x * gate[:, None, None, None, :]
+        return x * gate[:, None, None, None, :].astype(x.dtype)
 
 
 class BasicBlock3D(nn.Module):
     planes: int
     strides: int = 1
     k_size: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         residual = x
         y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
-                    padding=((1, 1),) * 3, use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
+                    padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), padding=((1, 1),) * 3,
-                    use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
-        y = ECALayer(self.k_size, name="eca")(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
+        y = ECALayer(self.k_size, dtype=self.dtype, name="eca")(y)
         if self.strides != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
-                               name="down_conv")(x)
+                               dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", **_BN)(residual)
+                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -86,29 +89,31 @@ class Bottleneck3D(nn.Module):
     strides: int = 1
     k_size: int = 3
     dilation: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # identity shortcut must not promote
         out_ch = self.planes * 4
         d = self.dilation
         residual = x
-        y = nn.Conv(self.planes, (1, 1, 1), use_bias=False, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(y)
+        y = nn.Conv(self.planes, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
                     padding=((d, d),) * 3, kernel_dilation=(d, d, d),
-                    use_bias=False, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", **_BN)(y)
+                    use_bias=False, dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn3", **_BN)(y)
-        y = ECALayer(self.k_size, name="eca")(y)
+        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3", dtype=self.dtype, **_BN)(y)
+        y = ECALayer(self.k_size, dtype=self.dtype, name="eca")(y)
         if self.strides != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
-                               name="down_conv")(x)
+                               dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", **_BN)(residual)
+                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -121,6 +126,7 @@ class ResNet3D(nn.Module):
     conv1_t_stride: int = 1
     no_max_pool: bool = False
     widen_factor: float = 1.0
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -130,8 +136,8 @@ class ResNet3D(nn.Module):
         x = nn.Conv(widths[0], (t, 7, 7),
                     strides=(self.conv1_t_stride, 2, 2),
                     padding=((t // 2, t // 2), (3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1", **_BN)(x)
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         if not self.no_max_pool:
             x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
@@ -141,6 +147,7 @@ class ResNet3D(nn.Module):
             stride = 1 if li == 0 else 2
             for b in range(blocks):
                 x = block(planes, strides=stride if b == 0 else 1,
+                          dtype=self.dtype,
                           name=f"layer{li + 1}_b{b}")(x, train)
         return jnp.mean(x, axis=(1, 2, 3))  # (B, C)
 
@@ -151,9 +158,11 @@ class Resnet50PAH(nn.Module):
 
     depth: int = 101
     n_outputs: int = 1
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         feat = ResNet3D(depth=self.depth, conv1_t_size=7, conv1_t_stride=2,
-                        name="backbone")(x, train)
-        return nn.Dense(self.n_outputs, name="projection")(feat)
+                        dtype=self.dtype, name="backbone")(x, train)
+        return nn.Dense(self.n_outputs, dtype=self.dtype,
+                        name="projection")(feat)

@@ -80,14 +80,16 @@ class GEGLUFeedForward(nn.Module):
     dim: int
     mult: int = 4
     dropout: float = 0.0  # after GEGLU, before fc2 (reference :120-127)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = nn.Dense(self.dim * self.mult * 2, name="fc1")(x)
+        y = nn.Dense(self.dim * self.mult * 2, dtype=self.dtype,
+                     name="fc1")(x)
         y, gates = jnp.split(y, 2, axis=-1)
         y = y * nn.gelu(gates)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        return nn.Dense(self.dim, name="fc2")(y)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
 
 class DividedAttention(nn.Module):
@@ -97,13 +99,15 @@ class DividedAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0  # on the output projection (reference :170-172)
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, fold_from: str, fold_to: str, rot,
                  train: bool = False, **dims):
         h = self.heads
         inner = self.heads * self.dim_head
-        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q, k, v = (rearrange(t, "b v n (h d) -> (b h) v n d", h=h)
                    for t in (q, k, v))
@@ -121,7 +125,9 @@ class DividedAttention(nn.Module):
         q_, k_, v_ = (rearrange(t, f"{fold_from} -> {fold_to}", **dims)
                       for t in (q_, k_, v_))
         if rot is not None:
-            q_, k_ = _apply_rot(q_, k_, rot)
+            # fp32 sin/cos tables must not promote a bf16 chain
+            q_, k_ = _apply_rot(q_, k_, tuple(
+                t.astype(q_.dtype) for t in rot))
         r = q_.shape[0] // cls_k.shape[0]
         ck = repeat(cls_k, "b v n d -> (b r) (v n) d", r=r)
         cv = repeat(cls_v, "b v n d -> (b r) (v n) d", r=r)
@@ -133,7 +139,7 @@ class DividedAttention(nn.Module):
         out = rearrange(out, f"{fold_to} -> {fold_from}", **dims)
         out = jnp.concatenate([cls_out, out], axis=2)
         out = rearrange(out, "(b h) v n d -> b v n (h d)", h=h)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         return nn.Dropout(self.dropout, deterministic=not train)(out)
 
 
@@ -150,6 +156,7 @@ class TimeSformer(nn.Module):
     # (:337-338) sets 0.1 — exposed so the recipe is reproducible
     attn_dropout: float = 0.0
     ff_dropout: float = 0.0
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     @nn.compact
     def __call__(self, video, train: bool = False):
@@ -161,10 +168,11 @@ class TimeSformer(nn.Module):
 
         patches = rearrange(video, "b v f (h p1) (w p2) -> b v (f h w) (p1 p2)",
                             p1=p, p2=p)
-        tokens = nn.Dense(self.dim, name="patch_embed")(patches)
+        tokens = nn.Dense(self.dim, dtype=self.dtype,
+                          name="patch_embed")(patches)
 
         cls = self.param("cls_token", nn.initializers.normal(1.0),
-                         (v, self.dim))
+                         (v, self.dim)).astype(self.dtype)
         cls = repeat(cls, "v d -> b v 1 d", b=b)
         x = jnp.concatenate([cls, tokens], axis=2)
 
@@ -172,22 +180,24 @@ class TimeSformer(nn.Module):
         space_rot = axial_rotary(v * hp, wp, self.dim_head)
 
         for i in range(self.depth):
-            y = nn.LayerNorm(name=f"l{i}_time_norm")(x)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_time_norm")(x)
             x = DividedAttention(self.dim, self.heads, self.dim_head,
-                                 self.attn_dropout,
+                                 self.attn_dropout, dtype=self.dtype,
                                  name=f"l{i}_time_attn")(
                 y, "b v (f n) d", "(b n) (v f) d",
                 time_rot, train=train, n=n, f=f, v=v) + x
-            y = nn.LayerNorm(name=f"l{i}_space_norm")(x)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_space_norm")(x)
             x = DividedAttention(self.dim, self.heads, self.dim_head,
-                                 self.attn_dropout,
+                                 self.attn_dropout, dtype=self.dtype,
                                  name=f"l{i}_space_attn")(
                 y, "b v (f n) d", "(b f) (v n) d",
                 space_rot, train=train, n=n, f=f, v=v) + x
-            y = nn.LayerNorm(name=f"l{i}_ff_norm")(x)
+            y = nn.LayerNorm(dtype=self.dtype, name=f"l{i}_ff_norm")(x)
             x = GEGLUFeedForward(self.dim, dropout=self.ff_dropout,
+                                 dtype=self.dtype,
                                  name=f"l{i}_ff")(y, train=train) + x
 
         cls_out = x[:, :, 0].reshape(b, -1)  # concat V cls tokens
-        cls_out = nn.LayerNorm(name="out_norm")(cls_out)
-        return nn.Dense(self.num_classes, name="out_fc")(cls_out)
+        cls_out = nn.LayerNorm(dtype=self.dtype, name="out_norm")(cls_out)
+        return nn.Dense(self.num_classes, dtype=self.dtype,
+                        name="out_fc")(cls_out)

@@ -44,13 +44,16 @@ def _upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
 class ConvBNRelu(nn.Module):
     features: int
     kernel: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
         p = self.kernel // 2
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    padding=((p, p), (p, p)), use_bias=True)(x)
-        x = nn.BatchNorm(use_running_average=not train, **_BN)(x)
+                    padding=((p, p), (p, p)), use_bias=True,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         **_BN)(x)
         return nn.relu(x)
 
 
@@ -58,21 +61,25 @@ class DoubleConv(nn.Module):
     """conv_block (reference models/unet.py:29-44): two 3×3 conv-BN-ReLU."""
 
     features: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = ConvBNRelu(self.features, name="conv1")(x, train)
-        return ConvBNRelu(self.features, name="conv2")(x, train)
+        x = ConvBNRelu(self.features, dtype=self.dtype, name="conv1")(x, train)
+        return ConvBNRelu(self.features, dtype=self.dtype,
+                          name="conv2")(x, train)
 
 
 class UpConv(nn.Module):
     """up_conv (reference models/unet.py:46-58): ×2 upsample, 3×3 conv-BN-ReLU."""
 
     features: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return ConvBNRelu(self.features, name="conv")(_upsample_2x(x), train)
+        return ConvBNRelu(self.features, dtype=self.dtype,
+                          name="conv")(_upsample_2x(x), train)
 
 
 class RecurrentBlock(nn.Module):
@@ -80,10 +87,11 @@ class RecurrentBlock(nn.Module):
 
     features: int
     t: int = 2
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        conv = ConvBNRelu(self.features, name="conv")
+        conv = ConvBNRelu(self.features, dtype=self.dtype, name="conv")
         x1 = conv(x, train)
         for _ in range(self.t):
             x1 = conv(x + x1, train)
@@ -95,12 +103,15 @@ class RRCNNBlock(nn.Module):
 
     features: int
     t: int = 2
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = nn.Conv(self.features, (1, 1), name="proj")(x)
-        x1 = RecurrentBlock(self.features, self.t, name="rcnn1")(x, train)
-        x1 = RecurrentBlock(self.features, self.t, name="rcnn2")(x1, train)
+        x = nn.Conv(self.features, (1, 1), dtype=self.dtype, name="proj")(x)
+        x1 = RecurrentBlock(self.features, self.t, dtype=self.dtype,
+                            name="rcnn1")(x, train)
+        x1 = RecurrentBlock(self.features, self.t, dtype=self.dtype,
+                            name="rcnn2")(x1, train)
         return x + x1
 
 
@@ -108,19 +119,20 @@ class AttentionGate(nn.Module):
     """Attention_block (reference models/unet.py:108-136)."""
 
     inter: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, g, x, train: bool):
-        g1 = nn.Conv(self.inter, (1, 1), name="w_g")(g)
+        g1 = nn.Conv(self.inter, (1, 1), dtype=self.dtype, name="w_g")(g)
         g1 = nn.BatchNorm(use_running_average=not train, name="w_g_bn",
-                          **_BN)(g1)
-        x1 = nn.Conv(self.inter, (1, 1), name="w_x")(x)
+                          dtype=self.dtype, **_BN)(g1)
+        x1 = nn.Conv(self.inter, (1, 1), dtype=self.dtype, name="w_x")(x)
         x1 = nn.BatchNorm(use_running_average=not train, name="w_x_bn",
-                          **_BN)(x1)
+                          dtype=self.dtype, **_BN)(x1)
         psi = nn.relu(g1 + x1)
-        psi = nn.Conv(1, (1, 1), name="psi")(psi)
+        psi = nn.Conv(1, (1, 1), dtype=self.dtype, name="psi")(psi)
         psi = nn.BatchNorm(use_running_average=not train, name="psi_bn",
-                           **_BN)(psi)
+                           dtype=self.dtype, **_BN)(psi)
         return x * nn.sigmoid(psi)
 
 
@@ -139,11 +151,12 @@ class UNet(nn.Module):
     attention: bool = False
     t: int = 2
     return_features: bool = False  # also return the deepest encoder stage
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     def _block(self, features: int, name: str):
         if self.recurrent:
-            return RRCNNBlock(features, self.t, name=name)
-        return DoubleConv(features, name=name)
+            return RRCNNBlock(features, self.t, dtype=self.dtype, name=name)
+        return DoubleConv(features, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -164,15 +177,16 @@ class UNet(nn.Module):
 
         for i in range(len(widths) - 2, -1, -1):
             wdt = widths[i]
-            x = UpConv(wdt, name=f"up{i + 2}")(x, train)
+            x = UpConv(wdt, dtype=self.dtype, name=f"up{i + 2}")(x, train)
             skip = skips[i]
             if self.attention:
-                skip = AttentionGate(max(wdt // 2, 1),
+                skip = AttentionGate(max(wdt // 2, 1), dtype=self.dtype,
                                      name=f"att{i + 2}")(x, skip, train)
             x = jnp.concatenate([skip, x], axis=-1)
             x = self._block(wdt, name=f"dec{i + 2}")(x, train)
 
-        logits = nn.Conv(self.out_channels, (1, 1), name="head")(x)
+        logits = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
+                         name="head")(x)
         if self.return_features:
             return logits, bottleneck
         return logits

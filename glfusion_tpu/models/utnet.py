@@ -40,15 +40,16 @@ class DepthwiseSeparableConv(nn.Module):
     """depthwise 3×3 + pointwise 1×1, both bias-free (reference :14-24)."""
 
     features: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         x = nn.Conv(in_ch, (3, 3), padding=((1, 1), (1, 1)),
                     feature_group_count=in_ch, use_bias=False,
-                    name="depthwise")(x)
+                    dtype=self.dtype, name="depthwise")(x)
         return nn.Conv(self.features, (1, 1), use_bias=False,
-                       name="pointwise")(x)
+                       dtype=self.dtype, name="pointwise")(x)
 
 
 class PreActBasicBlock(nn.Module):
@@ -56,28 +57,31 @@ class PreActBasicBlock(nn.Module):
 
     features: int
     strides: int = 1
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)  # the identity shortcut must not promote
         residue = x
         out = nn.BatchNorm(use_running_average=not train, name="bn1",
-                           **_BN)(x)
+                           dtype=self.dtype, **_BN)(x)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), strides=(self.strides,) * 2,
                       padding=((1, 1), (1, 1)), use_bias=False,
-                      name="conv1")(out)
+                      dtype=self.dtype, name="conv1")(out)
         out = nn.BatchNorm(use_running_average=not train, name="bn2",
-                           **_BN)(out)
+                           dtype=self.dtype, **_BN)(out)
         out = nn.relu(out)
         out = nn.Conv(self.features, (3, 3), padding=((1, 1), (1, 1)),
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
         if self.strides != 1 or x.shape[-1] != self.features:
             residue = nn.BatchNorm(use_running_average=not train,
-                                   name="short_bn", **_BN)(residue)
+                                   name="short_bn", dtype=self.dtype,
+                                   **_BN)(residue)
             residue = nn.relu(residue)
             residue = nn.Conv(self.features, (1, 1),
                               strides=(self.strides,) * 2, use_bias=False,
-                              name="short_conv")(residue)
+                              dtype=self.dtype, name="short_conv")(residue)
         return out + residue
 
 
@@ -131,12 +135,14 @@ class LinearAttention(nn.Module):
     heads: int
     reduce_size: int = 8
     rel_pos: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
         b, h, w, c = x.shape
         inner = c  # dim_head = c // heads (reference utnet.py ctor)
-        qkv = DepthwiseSeparableConv(inner * 3, name="to_qkv")(x)
+        qkv = DepthwiseSeparableConv(inner * 3, dtype=self.dtype,
+                                     name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         r = self.reduce_size
         if h != r:
@@ -147,13 +153,14 @@ class LinearAttention(nn.Module):
         v = _split_heads(v, self.heads)
         attn = jnp.einsum("bhid,bhjd->bhij", q, k)
         if self.rel_pos:
-            attn = attn + RelativePositionBias(
+            bias = RelativePositionBias(
                 self.heads, r, r, name="rel_pos")(h, w)
+            attn = attn + bias.astype(attn.dtype)  # fp32 table, no promote
         attn = attn * (inner // self.heads) ** -0.5
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = _merge_heads(out, h, w)
-        return DepthwiseSeparableConv(c, name="to_out")(out)
+        return DepthwiseSeparableConv(c, dtype=self.dtype, name="to_out")(out)
 
 
 class CrossAttention(nn.Module):
@@ -164,14 +171,17 @@ class CrossAttention(nn.Module):
     heads: int
     reduce_size: int = 8
     rel_pos: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, q_feat, kv_feat, train: bool):
         bh, hh, wh, _ = q_feat.shape
         inner = self.out_ch
-        kv = DepthwiseSeparableConv(inner * 2, name="to_kv")(kv_feat)
+        kv = DepthwiseSeparableConv(inner * 2, dtype=self.dtype,
+                                    name="to_kv")(kv_feat)
         k, v = jnp.split(kv, 2, axis=-1)
-        q = DepthwiseSeparableConv(inner, name="to_q")(q_feat)
+        q = DepthwiseSeparableConv(inner, dtype=self.dtype,
+                                   name="to_q")(q_feat)
         r = self.reduce_size
         if kv_feat.shape[1] != r:
             k = resize_bilinear_ac(k, (r, r))
@@ -181,13 +191,15 @@ class CrossAttention(nn.Module):
         v = _split_heads(v, self.heads)
         attn = jnp.einsum("bhid,bhjd->bhij", q, k)
         if self.rel_pos:
-            attn = attn + RelativePositionBias(
+            bias = RelativePositionBias(
                 self.heads, r, r, name="rel_pos")(hh, wh)
+            attn = attn + bias.astype(attn.dtype)
         attn = attn * (inner // self.heads) ** -0.5
         attn = nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = _merge_heads(out, hh, wh)
-        return DepthwiseSeparableConv(self.out_ch, name="to_out")(out)
+        return DepthwiseSeparableConv(self.out_ch, dtype=self.dtype,
+                                      name="to_out")(out)
 
 
 class BasicTransBlock(nn.Module):
@@ -196,19 +208,22 @@ class BasicTransBlock(nn.Module):
     heads: int
     reduce_size: int = 8
     rel_pos: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
         out = nn.BatchNorm(use_running_average=not train, name="bn1",
-                           **_BN)(x)
+                           dtype=self.dtype, **_BN)(x)
         out = LinearAttention(self.heads, self.reduce_size, self.rel_pos,
-                              name="attn")(out, train)
+                              dtype=self.dtype, name="attn")(out, train)
         out = out + x
         residue = out
         out = nn.BatchNorm(use_running_average=not train, name="bn2",
-                           **_BN)(out)
+                           dtype=self.dtype, **_BN)(out)
         out = nn.relu(out)
-        out = nn.Conv(x.shape[-1], (1, 1), use_bias=False, name="mlp")(out)
+        out = nn.Conv(x.shape[-1], (1, 1), use_bias=False, dtype=self.dtype,
+                      name="mlp")(out)
         return out + residue
 
 
@@ -219,24 +234,28 @@ class TransDecoderBlock(nn.Module):
     heads: int
     reduce_size: int = 8
     rel_pos: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, low, high, train: bool):
         # residual path: 1×1 conv on low, bilinear (ac=True) to high's size
-        residue = nn.Conv(self.out_ch, (1, 1), name="conv_ch")(low)
+        residue = nn.Conv(self.out_ch, (1, 1), dtype=self.dtype,
+                          name="conv_ch")(low)
         residue = resize_bilinear_ac(residue, high.shape[1:3])
         ln = nn.BatchNorm(use_running_average=not train, name="bn_l",
-                          **_BN)(low)
+                          dtype=self.dtype, **_BN)(low)
         hn = nn.BatchNorm(use_running_average=not train, name="bn_h",
-                          **_BN)(high)
+                          dtype=self.dtype, **_BN)(high)
         out = CrossAttention(self.out_ch, self.heads, self.reduce_size,
-                             self.rel_pos, name="attn")(hn, ln, train)
+                             self.rel_pos, dtype=self.dtype,
+                             name="attn")(hn, ln, train)
         out = out + residue
         residue = out
         out = nn.BatchNorm(use_running_average=not train, name="bn2",
-                           **_BN)(out)
+                           dtype=self.dtype, **_BN)(out)
         out = nn.relu(out)
-        out = nn.Conv(self.out_ch, (1, 1), use_bias=False, name="mlp")(out)
+        out = nn.Conv(self.out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="mlp")(out)
         return out + residue
 
 
@@ -254,6 +273,7 @@ class UTNet(nn.Module):
     # also return the deepest encoder feature map (the bottleneck) so
     # assemblies/trainers can reuse it (e.g. cycle features)
     return_features: bool = False
+    dtype: str = "float32"  # compute dtype (params stay fp32)
 
     def _stage_cfg(self, stage: int):
         """Map encoder stage 1..4 to (is_trans, num_attn, heads).
@@ -279,25 +299,30 @@ class UTNet(nn.Module):
         # pre-act block sees the raw input (its bn1 normalizes the input
         # channels and the 1×1 shortcut projects them), utnet.py:17-25;
         # there is no extra plain conv in front
-        h1 = PreActBasicBlock(base, name="inc_block")(x, train)
+        h1 = PreActBasicBlock(base, dtype=self.dtype,
+                              name="inc_block")(x, train)
         if "0" in self.block_list:
             h1 = BasicTransBlock(self.heads[0], self.reduce_size,
-                                 self.rel_pos, name="inc_trans")(h1, train)
+                                 self.rel_pos, dtype=self.dtype,
+                                 name="inc_trans")(h1, train)
         else:
-            h1 = PreActBasicBlock(base, name="inc_block2")(h1, train)
+            h1 = PreActBasicBlock(base, dtype=self.dtype,
+                                  name="inc_block2")(h1, train)
 
         feats = [h1]
         for s in range(1, 5):
             trans, nblk, heads = self._stage_cfg(s)
             y = nn.max_pool(feats[-1], (2, 2), strides=(2, 2))
-            y = PreActBasicBlock(widths[s], name=f"down{s}_conv")(y, train)
+            y = PreActBasicBlock(widths[s], dtype=self.dtype,
+                                 name=f"down{s}_conv")(y, train)
             if trans:
                 for bidx in range(nblk):
                     y = BasicTransBlock(
                         heads, self.reduce_size, self.rel_pos,
+                        dtype=self.dtype,
                         name=f"down{s}_trans{bidx}")(y, train)
             else:
-                y = PreActBasicBlock(widths[s],
+                y = PreActBasicBlock(widths[s], dtype=self.dtype,
                                      name=f"down{s}_conv2")(y, train)
             feats.append(y)
 
@@ -313,20 +338,22 @@ class UTNet(nn.Module):
             if self.decoder_attn and trans:
                 out = TransDecoderBlock(
                     widths[s - 1], heads, self.reduce_size, self.rel_pos,
+                    dtype=self.dtype,
                     name=f"up{s}_attn")(out, skip, train)
                 out = jnp.concatenate([out, skip], axis=-1)
-                out = PreActBasicBlock(widths[s - 1],
+                out = PreActBasicBlock(widths[s - 1], dtype=self.dtype,
                                        name=f"up{s}_conv")(out, train)
             else:
                 # plain up_block (reference unet_utils.py:280-311)
                 up = resize_bilinear_ac(out, skip.shape[1:3])
-                up = nn.Conv(widths[s - 1], (1, 1),
+                up = nn.Conv(widths[s - 1], (1, 1), dtype=self.dtype,
                              name=f"up{s}_conv_ch")(up)
                 out = jnp.concatenate([skip, up], axis=-1)
-                out = PreActBasicBlock(widths[s - 1],
+                out = PreActBasicBlock(widths[s - 1], dtype=self.dtype,
                                        name=f"up{s}_conv")(out, train)
-                out = PreActBasicBlock(widths[s - 1],
+                out = PreActBasicBlock(widths[s - 1], dtype=self.dtype,
                                        name=f"up{s}_conv2")(out, train)
 
-        out = nn.Conv(self.num_classes, (1, 1), name="outc")(out)
+        out = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
+                      name="outc")(out)
         return (out, feats[4]) if self.return_features else out
