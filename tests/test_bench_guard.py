@@ -17,6 +17,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.smoke
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

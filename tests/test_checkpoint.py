@@ -31,6 +31,7 @@ def flax_backend(monkeypatch):
     monkeypatch.setattr(ckpt_mod, "_ORBAX_OK", None)
 
 
+@pytest.mark.smoke
 def test_flax_roundtrip_and_latest(tmp_path, flax_backend):
     cm = CheckpointManager(str(tmp_path / "ck"))
     assert cm.backend == "flax"
@@ -161,6 +162,7 @@ def test_flax_restore_recommits_shardings(tmp_path, flax_backend):
     assert restored.params["w"].sharding.spec == P("model")
 
 
+@pytest.mark.smoke
 def test_orbax_roundtrip_when_available(tmp_path):
     if not ckpt_mod._orbax_available():
         pytest.skip("orbax unavailable on this install")

@@ -253,6 +253,7 @@ def test_prefetch_preserves_order_and_raises():
         list(it)
 
 
+@pytest.mark.smoke
 def test_missing_view_pads_zeros(synth):
     """Reference pads missing views with zeros (loader.py:268-282)."""
     import copy

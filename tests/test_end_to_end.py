@@ -81,6 +81,7 @@ def trained(synth, tmp_path_factory):
     return trainer, m0, m1, tmp
 
 
+@pytest.mark.smoke
 def test_train_two_epochs_loss_decreases_and_eval_runs(trained):
     trainer, m0, m1, _ = trained
     assert np.isfinite(m0["loss"]) and np.isfinite(m1["loss"])

@@ -140,6 +140,7 @@ def test_global_and_local_per_view_params_are_stacked():
     np.testing.assert_array_equal(np.asarray(stem[0]), np.asarray(stem[1]))
 
 
+@pytest.mark.smoke
 def test_global_and_local_train_mode_updates_batch_stats():
     cfg = tiny_config().model
     model = GlobalAndLocal(cfg)

@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glfusion_tpu.parallel import make_mesh, shard_batch, shard_variables
 from glfusion_tpu.parallel.sharding import variable_pspec
 from jax.sharding import PartitionSpec as P
 
 
+@pytest.mark.smoke
 def test_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
     assert mesh.shape == {"data": 4, "model": 2}
@@ -70,6 +72,23 @@ def test_representative_width_sharded_execution():
     assert res["(2,4)"]["tp_sharded_leaves"] > 20
 
 
+def test_full_width_sharded_execution():
+    """FULL production width (2048-ch tail, the shipping config's exact TP
+    surface) executed sharded==unsharded on the (2,4) mesh. ~10-30 min and
+    a few GiB RSS on the 1-core box, so env-gated like the full-size
+    parity rehearsal; tools/run_full_width_sharded.py records the result.
+    Reference comparison point: it executed multi-device training at
+    production size (main.py:155)."""
+    import os
+
+    import pytest
+
+    if not os.environ.get("GLFUSION_FULL_WIDTH_SHARDED"):
+        pytest.skip("set GLFUSION_FULL_WIDTH_SHARDED=1 to run (slow)")
+    res = _graft_entry().full_width_sharded_execution(verbose=False)
+    assert res["(2,4)"]["tp_sharded_leaves"] > 20
+
+
 def test_dryrun_multichip_1dev():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -80,6 +99,7 @@ def test_dryrun_multichip_1dev():
     mod.dryrun_multichip(1, full=False)
 
 
+@pytest.mark.smoke
 def test_sharded_forward_matches_unsharded():
     """GSPMD correctness of our sharding rules: the same eval forward must
     produce (numerically) identical logits for replicated, data-parallel,

@@ -65,6 +65,7 @@ def test_step_with_options_rejects_outer_jit(monkeypatch):
         outer(state, batch, jax.random.PRNGKey(1))
 
 
+@pytest.mark.smoke
 def test_step_without_options_nests_in_outer_scan(monkeypatch):
     """compiler_options=None (what bench.py / the profiling tools pass)
     must nest cleanly inside an outer jitted scan — the bench harness

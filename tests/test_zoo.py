@@ -11,6 +11,7 @@ import numpy as np
 import pytest
 
 
+@pytest.mark.smoke
 def test_utnet_full_and_encoderonly():
     from glfusion_tpu.models import UTNet
 
