@@ -137,6 +137,17 @@ class _OrbaxBackend:
         return sorted(int(s) for s in self._mgr.all_steps())
 
     def restore(self, template: dict, step: int) -> Optional[dict]:
+        """Restore step's payload against ``template``'s structure.
+
+        Return-type contract: leaves whose template carries a mesh
+        NamedSharding come back as committed global ``jax.Array``s;
+        every OTHER leaf (opt-state scalars, or whole trees when the
+        caller's template holds plain single-device arrays) comes back
+        as UNCOMMITTED host numpy. Callers must not rely on committed
+        device arrays for those leaves — placement resolves at the next
+        jit exactly like a freshly-created state's (see the comment
+        below for why this is load-bearing on multi-process meshes).
+        """
         self._mgr.wait_until_finished()
         if step not in set(self._mgr.all_steps()):
             return None
@@ -354,7 +365,13 @@ class CheckpointManager:
         return self._impl.all_steps()
 
     def restore_step(self, state, step: int):
-        """Restore one specific epoch's state (or None)."""
+        """Restore one specific epoch's state (or None).
+
+        Leaf placement follows the backend's contract: mesh-sharded
+        leaves (template = NamedSharding jax.Array) return committed and
+        global; all other leaves may return as uncommitted host numpy
+        and are placed by the next jitted step — do not assume device
+        residency on the returned state (``_OrbaxBackend.restore``)."""
         restored = self._impl.restore(_payload(state), step)
         if restored is None:
             return None

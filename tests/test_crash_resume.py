@@ -140,6 +140,65 @@ def test_sigkill_mid_training_then_resume(tmp_path):
         f"(epoch {target_epochs - 1} checkpoints differ)")
 
 
+def test_sigkill_then_resume_orbax_backend(tmp_path):
+    """Crash durability on the DEFAULT (orbax) backend: SIGKILL mid-train
+    must leave a directory --resume continues from. Availability-only
+    assertions — the bitwise-fidelity comparison lives in the flax run
+    above (one msgpack per epoch makes it a byte compare); this run keeps
+    the orbax commit protocol itself under kill coverage."""
+    from glfusion_tpu.config import tiny_config
+    from glfusion_tpu.data.synthetic import generate_synthetic_dataset
+
+    cfg = tiny_config()
+    data_root = tmp_path / "data"
+    generate_synthetic_dataset(data_root, cfg.data, views=cfg.model.views,
+                               seed=0)
+    save_dir = tmp_path / "ckpt"
+    base = [
+        sys.executable, "-m", "glfusion_tpu.cli",
+        "--mode", "train", "--tiny", "--platform", "cpu",
+        "--data-root", str(data_root),
+        "--save-every", "1", "--eval-every", "100", "--no-cycle",
+        "--save-dir", str(save_dir), "--log-dir", str(tmp_path / "log"),
+    ]
+    env = _subprocess_env()
+    env["GLFUSION_CKPT_BACKEND"] = "orbax"
+
+    proc = subprocess.Popen(base + ["--epochs", "50"], cwd=REPO, env=env,
+                            stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT)
+    try:
+        deadline = time.time() + 900
+        while time.time() < deadline:
+            if _durable_epochs(save_dir):
+                break
+            if proc.poll() is not None:
+                pytest.fail("training exited before its first checkpoint:\n"
+                            + proc.stdout.read().decode())
+            time.sleep(0.5)
+        else:
+            pytest.fail("no durable checkpoint within the deadline")
+        time.sleep(1.0)  # land the kill mid-flight in the next epoch
+    finally:
+        proc.kill()
+        proc.stdout.close()
+        proc.wait()
+
+    survived = _durable_epochs(save_dir)
+    assert survived, "kill-time durable set vanished"
+
+    target_epochs = max(survived) + 2
+    out = subprocess.run(
+        base + ["--epochs", str(target_epochs), "--resume"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert f"restored checkpoint at epoch {max(survived) + 1}" \
+        in out.stdout, out.stdout
+    final = _durable_epochs(save_dir)
+    assert set(survived) <= set(final)
+    assert final[-1] == target_epochs - 1, (survived, final)
+
+
 def test_sigterm_graceful_epoch_boundary_stop(tmp_path):
     """Preemption handling: SIGTERM finishes the in-flight epoch,
     checkpoints it OFF the save cadence, and exits 0; --resume continues

@@ -139,6 +139,69 @@ print("RESULT", json.dumps({"loss1": m["loss"], "steps": m["steps"],
 """
 
 
+# Grow-elastic children (1 → 2 processes): a SINGLE process saves epoch 0;
+# a 2-process pair restores that checkpoint into a mesh whose shards span
+# the processes and continues epoch 1 — the first path a real pod
+# scale-up hits. The solo-continuation child gives the reference
+# trajectory the grown pair must reproduce.
+_CHILD_SAVE_1PROC = """
+import dataclasses, json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+ckpt_dir = sys.argv[5]
+from glfusion_tpu.parallel import sharding
+sharding._MIN_SHARD_DIM = 4
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.train.trainer import Trainer
+
+paths = json.load(open(sys.argv[1]))
+cfg = tiny_config()
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, stem_width=4, widths=(4, 4, 8, 8),
+                              aspp_channels=8),
+    train=dataclasses.replace(
+        cfg.train, num_epochs=1, use_cycle=False, mesh_model=1,
+        save_dir=ckpt_dir, log_dir=sys.argv[2] + "/log",
+        eval_every_epochs=100, save_every_epochs=1))
+tr = Trainer(cfg, data_paths=paths, verbose=False)
+m = tr.train()  # epoch 0 + save + wait
+print("RESULT", json.dumps({"loss0": m["loss"], "steps": m["steps"],
+                            "nproc": jax.process_count()}), flush=True)
+"""
+
+_CHILD_GROW_2PROC = """
+import dataclasses, json, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+from glfusion_tpu.utils.cluster import initialize_distributed
+initialize_distributed(port=int(sys.argv[3]))
+mesh_model = int(sys.argv[4])
+ckpt_dir = sys.argv[5]
+from glfusion_tpu.parallel import sharding
+sharding._MIN_SHARD_DIM = 4
+from glfusion_tpu.config import tiny_config
+from glfusion_tpu.train.trainer import Trainer
+
+paths = json.load(open(sys.argv[1]))
+cfg = tiny_config()
+cfg = dataclasses.replace(
+    cfg,
+    model=dataclasses.replace(cfg.model, stem_width=4, widths=(4, 4, 8, 8),
+                              aspp_channels=8),
+    train=dataclasses.replace(
+        cfg.train, num_epochs=2, use_cycle=False, mesh_model=mesh_model,
+        save_dir=ckpt_dir, log_dir=sys.argv[2] + "/log",
+        eval_every_epochs=100, save_every_epochs=100))
+tr = Trainer(cfg, data_paths=paths, verbose=False)
+assert tr.mesh.shape["data"] * mesh_model == jax.device_count()
+assert tr.load_latest() and tr.epoch == 1, tr.epoch
+m = tr._train_epoch(1)
+print("RESULT", json.dumps({"loss1": m["loss"], "steps": m["steps"],
+                            "nproc": jax.process_count()}), flush=True)
+"""
+
+
 def _free_port():
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
@@ -285,4 +348,54 @@ def test_two_process_checkpoint_roundtrip_and_elastic_restore(
     assert solo_res["nproc"] == 1
     assert solo_res["steps"] == results[0]["steps"]
     np.testing.assert_allclose(solo_res["loss1"], results[0]["loss1"],
+                               rtol=1e-4)
+
+
+@pytest.mark.parametrize("mesh_model", [1, 2],
+                         ids=["grow_to_data2", "grow_to_model2"])
+def test_grow_elastic_restore_one_to_two_processes(
+        corpus_and_baseline, mesh_model):
+    """Grow-elastic restart (1 → 2 processes) — the reverse of the shrink
+    path above and the first path a real pod scale-up hits: a SINGLE
+    process trains epoch 0 and saves; a 2-process pair restores that
+    checkpoint into a data=2 (replicated leaves re-placed across ranks)
+    or model=2 (leaves RESHARDED across ranks) mesh and continues epoch 1,
+    reproducing the single-process continuation trajectory within f32
+    reduction-order tolerance."""
+    tmp_path, paths_file, _ = corpus_and_baseline
+    tag = f"grow{mesh_model}"
+    ckpt_dir = str(tmp_path / f"{tag}_ckpt")
+    env_extra = {"GLFUSION_CKPT_BACKEND": "orbax"}
+
+    saver = _run(paths_file, str(tmp_path / f"{tag}_save"), _free_port(),
+                 env_extra, child=_CHILD_SAVE_1PROC, extra_argv=(ckpt_dir,))
+    save_res = _result(saver)
+    assert save_res["nproc"] == 1 and save_res["steps"] > 0
+
+    # the reference trajectory: the same checkpoint continued in 1 process
+    solo = _run(paths_file, str(tmp_path / f"{tag}_solo"), _free_port(),
+                env_extra, child=_CHILD_RESTORE_1PROC,
+                extra_argv=(ckpt_dir,))
+    solo_res = _result(solo)
+    assert solo_res["nproc"] == 1
+
+    port = _free_port()
+    procs = [
+        _run(paths_file, str(tmp_path / f"{tag}_rank{r}"), port,
+             {"PMI_SIZE": "2", "PMI_RANK": str(r), **env_extra},
+             mesh_model=mesh_model, child=_CHILD_GROW_2PROC,
+             extra_argv=(ckpt_dir,))
+        for r in range(2)
+    ]
+    try:
+        results = [_result(p) for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for res in results:
+        assert res["nproc"] == 2
+        assert res["steps"] == solo_res["steps"]
+    assert results[0]["loss1"] == results[1]["loss1"]  # same SPMD program
+    np.testing.assert_allclose(results[0]["loss1"], solo_res["loss1"],
                                rtol=1e-4)
