@@ -452,14 +452,19 @@ def test_perf_regression_guard():
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
     import check_perf_regression as guard
 
-    good = {"metric": "m", "value": 1275.4, "unit": "frames/sec/chip",
+    # r5: the guard keys on the headline metric name + explicit platform
+    # field (zoo/reg rows and CPU records skip; tests/test_bench_guard.py
+    # covers those branches)
+    good = {"metric": "multiview_inference_throughput", "value": 1275.4,
+            "unit": "frames/sec/chip",
             "train_step_s": 0.363, "train_step_light_s": 0.3107,
-            "train_mfu_pct": 50.2}
+            "train_mfu_pct": 50.2, "platform": "tpu"}
     assert guard.check(dict(good), slack=0.04) == 0
     bad = dict(good, value=1100.0, train_mfu_pct=44.0)
     assert guard.check(bad, slack=0.04) == 1
     missing = {k: v for k, v in good.items() if k != "train_step_s"}
     assert guard.check(missing, slack=0.04) == 1
-    cpu = {"metric": "m", "value": 1.2, "unit": "frames/sec/chip",
-           "train_step_s": 30.0}
+    cpu = {"metric": "multiview_inference_throughput", "value": 1.2,
+           "unit": "frames/sec/chip", "train_step_s": 30.0,
+           "platform": "cpu"}
     assert guard.check(cpu, slack=0.04) == 0
