@@ -133,20 +133,27 @@ def main(argv=None) -> int:
     out = {"clips": args.clips, "threads": threads, "dtype": args.dtype,
            "platform": platform, "arms": {}}
     depths = [int(d) for d in args.depths.split(",")]
+
+    def run_arm(name, **pipe_kw):
+        # arm-resilient: e.g. the axon tunnel rejects the AOT export's
+        # baked-weights module (remote_compile HTTP 413) — record the
+        # blocker and keep the other arms' numbers
+        try:
+            pipe = ClipPipeline(cfg, model, variables, **pipe_kw)
+            next(iter(pipe.predict_paths(clips[:1])))  # warm the forward
+            out["arms"][name] = measure(pipe, clips, name)
+        except Exception as e:  # noqa: BLE001 — record, don't lose the run
+            out["arms"][name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(f"ARM {name} {json.dumps(out['arms'][name])}", flush=True)
+
     for arm, kwargs in (("live", {}), ("export", export_kwargs)):
         for depth in depths:
-            pipe = ClipPipeline(cfg, model, variables, depth=depth,
-                                threads=threads, **kwargs)
-            next(iter(pipe.predict_paths(clips[:1])))  # warm the forward
-            out["arms"][f"{arm}_depth{depth}"] = measure(
-                pipe, clips, f"{arm}/d{depth}")
+            run_arm(f"{arm}_depth{depth}", depth=depth, threads=threads,
+                    **kwargs)
 
     # decode-thread scaling (live arm, depth 2): the --serve-threads story
     for th in (int(x) for x in args.threads_sweep.split(",")):
-        pipe = ClipPipeline(cfg, model, variables, depth=2, threads=th)
-        next(iter(pipe.predict_paths(clips[:1])))
-        out["arms"][f"live_depth2_threads{th}"] = measure(
-            pipe, clips, f"threads{th}")
+        run_arm(f"live_depth2_threads{th}", depth=2, threads=th)
 
     print("SERVE_LATENCY " + json.dumps(out))
     if not args.keep:
