@@ -68,7 +68,8 @@ class _Block3D(nn.Module):
             y = nn.BatchNorm(use_running_average=not train, name="bn2",
                              dtype=self.dtype, **_BN)(y)
             y = nn.relu(y)
-            y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
+            y = nn.Conv(out_ch, (1, 1, 1), use_bias=False,
+                        dtype=self.dtype, name="conv3")(y)
             y = nn.BatchNorm(use_running_average=not train, name="bn3",
                              dtype=self.dtype, **_BN)(y)
 
@@ -77,7 +78,8 @@ class _Block3D(nn.Module):
                                strides=(self.strides,) * 3, use_bias=False,
                                dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
+                                    name="down_bn",
+                                        dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -95,8 +97,10 @@ class MRIResNet3D(nn.Module):
     def __call__(self, x, train: bool = False):
         kind, layers = DEPTH_TABLE[self.depth]
         x = nn.Conv(64, (7, 7, 7), strides=(2, 2, 2),
-                    padding=((3, 3),) * 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(x)
+                    padding=((3, 3),) * 3, use_bias=False,
+                             dtype=self.dtype, name="conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3)
         stage_cfg = ((1, 1), (2, 1), (1, 2), (1, 4))  # (stride, dilation)

@@ -41,7 +41,8 @@ class Conv2Plus1D(nn.Module):
         x = nn.Conv(self.midplanes, (1, 3, 3), strides=(1, s, s),
                     padding=((0, 0), (1, 1), (1, 1)), use_bias=False,
                     dtype=self.dtype, name="spatial")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn", dtype=self.dtype, **_BN)(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         return nn.Conv(self.features, (3, 1, 1), strides=(s, 1, 1),
                        padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
@@ -63,17 +64,20 @@ class R2Plus1DBlock(nn.Module):
         residual = x
         y = Conv2Plus1D(self.planes, mid, self.strides, dtype=self.dtype,
                         name="conv1")(x, train)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = Conv2Plus1D(self.planes, mid, dtype=self.dtype,
                         name="conv2")(y, train)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2",
+                         dtype=self.dtype, **_BN)(y)
         if self.strides != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
                                dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
+                                    name="down_bn",
+                                        dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -96,12 +100,14 @@ class R2Plus1D18(nn.Module):
         x = nn.Conv(45, (1, 7, 7), strides=(1, 2, 2),
                     padding=((0, 0), (3, 3), (3, 3)), use_bias=False,
                     dtype=self.dtype, name="stem_spatial")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="stem_bn1", dtype=self.dtype, **_BN)(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn1",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         x = nn.Conv(self.widths[0], (3, 1, 1),
                     padding=((1, 1), (0, 0), (0, 0)), use_bias=False,
                     dtype=self.dtype, name="stem_temporal")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="stem_bn2", dtype=self.dtype, **_BN)(x)
+        x = nn.BatchNorm(use_running_average=not train, name="stem_bn2",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
 
         for li, (planes, blocks) in enumerate(zip(self.widths, self.layers)):

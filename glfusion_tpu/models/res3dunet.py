@@ -126,24 +126,28 @@ class ResUNet3D(nn.Module):
         out = drop(chain(lr4, (w256,) * 3, (1, 1, 1), "dec1") + sr4)
         bottleneck = out
         o1 = act(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="map1")(out), 8))
+            nn.Conv(self.out_channels, (1, 1, 1),
+                    dtype=self.dtype, name="map1")(out), 8))
 
         sr6 = UpConv(w128, dtype=self.dtype, name="up2")(out)
         out = drop(chain(jnp.concatenate([sr6, lr3], -1),
                          (w128,) * 3, (1, 1, 1), "dec2") + sr6)
         o2 = act(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="map2")(out), 4))
+            nn.Conv(self.out_channels, (1, 1, 1),
+                    dtype=self.dtype, name="map2")(out), 4))
 
         sr7 = UpConv(w64, dtype=self.dtype, name="up3")(out)
         out = drop(chain(jnp.concatenate([sr7, lr2], -1),
                          (w64,) * 3, (1, 1, 1), "dec3") + sr7)
         o3 = act(_upsample_trilinear(
-            nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="map3")(out), 2))
+            nn.Conv(self.out_channels, (1, 1, 1),
+                    dtype=self.dtype, name="map3")(out), 2))
 
         sr8 = UpConv(w32, dtype=self.dtype, name="up4")(out)
         out = chain(jnp.concatenate([sr8, lr1], -1),
                     (w32,) * 2, (1, 1), "dec4") + sr8
-        o4 = act(nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype, name="map4")(out))
+        o4 = act(nn.Conv(self.out_channels, (1, 1, 1),
+                 dtype=self.dtype, name="map4")(out))
 
         if self.return_features:
             return (o1, o2, o3, o4), bottleneck

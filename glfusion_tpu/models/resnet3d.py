@@ -68,19 +68,23 @@ class BasicBlock3D(nn.Module):
         x = x.astype(self.dtype)  # identity shortcut must not promote
         residual = x
         y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
-                    padding=((1, 1),) * 3, use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
+                    padding=((1, 1),) * 3, use_bias=False,
+                             dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), padding=((1, 1),) * 3,
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2",
+                         dtype=self.dtype, **_BN)(y)
         y = ECALayer(self.k_size, dtype=self.dtype, name="eca")(y)
         if self.strides != 1 or x.shape[-1] != self.planes:
             residual = nn.Conv(self.planes, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
                                dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
+                                    name="down_bn",
+                                        dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -97,23 +101,29 @@ class Bottleneck3D(nn.Module):
         out_ch = self.planes * 4
         d = self.dilation
         residual = x
-        y = nn.Conv(self.planes, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
-        y = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(y)
+        y = nn.Conv(self.planes, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
         y = nn.Conv(self.planes, (3, 3, 3), strides=(self.strides,) * 3,
                     padding=((d, d),) * 3, kernel_dilation=(d, d, d),
                     use_bias=False, dtype=self.dtype, name="conv2")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn2", dtype=self.dtype, **_BN)(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn2",
+                         dtype=self.dtype, **_BN)(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
-        y = nn.BatchNorm(use_running_average=not train, name="bn3", dtype=self.dtype, **_BN)(y)
+        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False,
+                    dtype=self.dtype, name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, name="bn3",
+                         dtype=self.dtype, **_BN)(y)
         y = ECALayer(self.k_size, dtype=self.dtype, name="eca")(y)
         if self.strides != 1 or x.shape[-1] != out_ch:
             residual = nn.Conv(out_ch, (1, 1, 1),
                                strides=(self.strides,) * 3, use_bias=False,
                                dtype=self.dtype, name="down_conv")(x)
             residual = nn.BatchNorm(use_running_average=not train,
-                                    name="down_bn", dtype=self.dtype, **_BN)(residual)
+                                    name="down_bn",
+                                        dtype=self.dtype, **_BN)(residual)
         return nn.relu(y + residual)
 
 
@@ -137,7 +147,8 @@ class ResNet3D(nn.Module):
                     strides=(self.conv1_t_stride, 2, 2),
                     padding=((t // 2, t // 2), (3, 3), (3, 3)),
                     use_bias=False, dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, name="bn1", dtype=self.dtype, **_BN)(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn1",
+                         dtype=self.dtype, **_BN)(x)
         x = nn.relu(x)
         if not self.no_max_pool:
             x = nn.max_pool(x, (3, 3, 3), strides=(2, 2, 2),
