@@ -38,7 +38,8 @@ import numpy as np
 # batch 1×3 views: 4.96 s/step → 0.60 frames/s; BASELINE.md "CPU baseline").
 CPU_BASELINE_FPS = 0.60
 
-# throughput-optimal batch (measured: 8→1155, 16→1194, 32→1218 frames/s);
+# throughput-optimal batch (measured: 8→1155, 16→1194, 32→1218 frames/s;
+# r5 re-probe confirms the knee: 48→1253, 64→1270 vs 32→1279);
 # the reference's train batch is 8 (main.py:914)
 BATCH_FRAMES = 32
 ITERS = 10
