@@ -470,7 +470,9 @@ def test_registry_arch_via_trainer_epochs(tmp_path):
     cfg0 = tiny_config()
     paths = generate_synthetic_dataset(str(tmp_path / "data"), cfg0.data,
                                        views=cfg0.model.views, seed=0)
-    for arch in ("avs_transfusion", "legacy:tpavi"):
+    # one per family added per round: AVS + legacy (r2), the r5
+    # frames-to-depth volume adapter with deep supervision (res3dunet)
+    for arch in ("avs_transfusion", "legacy:tpavi", "res3dunet"):
         cfg = replace(
             cfg0,
             model=replace(cfg0.model, arch=arch),
